@@ -1,0 +1,74 @@
+"""GEMM-native real DFT / inverse real DFT for TPU.
+
+The TPU backend here implements neither ``fft`` nor complex dtypes, so the
+DFT is computed as real matrix multiplications on the MXU — the natural
+TPU-first formulation (all FLOPs land on the systolic array, and the DFT
+matmul fuses with neighbouring elementwise work under XLA).
+
+Spectra use the "RI" convention throughout the framework: a trailing axis of
+size 2 holding (real, imag), matching ``torch.view_as_real`` layouts used by
+every reference model (e.g. reference models/mdx23c_tfc_tdf_v3.py:27,
+models/bs_roformer/bs_roformer.py:490).
+
+Matmuls run at ``Precision.HIGHEST``: the backend's default matmul precision
+is bf16-level (measured max-abs error ~0.17 on unit-variance 256x256), which
+would destroy STFT parity; HIGHEST measures ~4e-5.
+
+The current implementation is the direct O(N^2) matmul (one GEMM per real /
+imag plane); a Cooley-Tukey two-stage GEMM factorization (N = N1*N2 costs
+~(N1+N2)/N of the direct form) is the planned perf-pass upgrade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=32)
+def _rdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Forward rDFT matrices C, S of shape (n, n//2+1): X = x@C + i x@S."""
+    k = np.arange(n // 2 + 1)
+    t = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(t, k) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def _irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse rDFT matrices Ci, Si of shape (n//2+1, n): x = Xr@Ci + Xi@Si."""
+    nk = n // 2 + 1
+    k = np.arange(nk)
+    t = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, t) / n
+    w = np.full(nk, 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    ci = (w[:, None] * np.cos(ang) / n).astype(np.float32)
+    si = (-w[:, None] * np.sin(ang) / n).astype(np.float32)
+    return ci, si
+
+
+def rdft(x: jax.Array) -> jax.Array:
+    """Real DFT: (..., N) real -> (..., N//2+1, 2) RI spectrum."""
+    n = x.shape[-1]
+    c, s = _rdft_mats(n)
+    re = jnp.matmul(x, jnp.asarray(c), precision=_HIGHEST)
+    im = jnp.matmul(x, jnp.asarray(s), precision=_HIGHEST)
+    return jnp.stack([re, im], axis=-1)
+
+
+def irdft(spec_ri: jax.Array, n: int) -> jax.Array:
+    """Inverse real DFT: (..., N//2+1, 2) RI spectrum -> (..., N) real."""
+    ci, si = _irdft_mats(n)
+    re = spec_ri[..., 0]
+    im = spec_ri[..., 1]
+    return jnp.matmul(re, jnp.asarray(ci), precision=_HIGHEST) + jnp.matmul(
+        im, jnp.asarray(si), precision=_HIGHEST
+    )

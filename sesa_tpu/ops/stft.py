@@ -1,0 +1,181 @@
+"""torch-compatible STFT / iSTFT as pure JAX functions, complex-free on device.
+
+Every model in the reference embeds its own analysis/synthesis transform built
+on ``torch.stft`` / ``torch.istft`` (e.g. reference models/mdx23c_tfc_tdf_v3.py:7-44,
+models/bs_roformer/bs_roformer.py:485,575, models/scnet/scnet.py:338,368).
+Here there is ONE shared implementation whose semantics match ``torch.stft``:
+
+- ``center=True`` pads the signal by ``n_fft // 2`` on both sides
+  (reflect by default, matching torch's default ``pad_mode='reflect'``)
+- ``win_length < n_fft`` zero-pads the window symmetrically to ``n_fft``
+- ``normalized=True`` multiplies the STFT by ``n_fft ** -0.5`` (and the
+  iSTFT frames by ``n_fft ** 0.5``), verified empirically against torch
+- iSTFT overlap-adds windowed inverse-DFT frames and divides by the
+  overlap-added squared-window envelope (NOLA normalization), then crops
+  the center padding and trims/pads to ``length``
+
+The device API is RI-native — spectra are real arrays with a trailing
+(real, imag) axis of size 2 — because this TPU backend supports neither
+complex dtypes nor a native FFT (see ``sesa_tpu.ops.fft``). ``stft``/``istft``
+complex wrappers exist for host-side tests and interop.
+
+Framing uses ``lax.conv_general_dilated_patches`` so XLA lowers it to an
+efficient strided-window extraction on TPU instead of a scalar gather loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.ops.fft import irdft, rdft
+
+
+def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
+    """Periodic Hann window, identical to ``torch.hann_window(n, periodic=True)``."""
+    n = np.arange(win_length)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def _pad_window(window: jax.Array, n_fft: int) -> jax.Array:
+    """Center a short window inside an ``n_fft``-length zero buffer (torch semantics)."""
+    win_length = window.shape[0]
+    if win_length == n_fft:
+        return window
+    left = (n_fft - win_length) // 2
+    return jnp.pad(window, (left, n_fft - win_length - left))
+
+
+def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
+    """Extract sliding frames: (..., T) -> (..., n_frames, frame_length)."""
+    batch_shape = x.shape[:-1]
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop
+    x2 = x.reshape((-1, 1, t))
+    # (B, frame_length, n_frames): XLA's native strided patch extraction.
+    patches = jax.lax.conv_general_dilated_patches(
+        x2, filter_shape=(frame_length,), window_strides=(hop,), padding="VALID"
+    )
+    patches = jnp.transpose(patches, (0, 2, 1))
+    return patches.reshape(batch_shape + (n_frames, frame_length))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "center", "normalized", "pad_mode"),
+)
+def stft_ri(
+    x: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    window: Optional[jax.Array] = None,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    normalized: bool = False,
+    pad_mode: str = "reflect",
+) -> jax.Array:
+    """RI STFT of ``x`` with ``torch.stft`` semantics.
+
+    Args:
+      x: real signal, shape ``(..., T)``.
+    Returns:
+      real array of shape ``(..., n_fft // 2 + 1, n_frames, 2)`` — the last
+      axis is (real, imag), matching ``torch.view_as_real(torch.stft(...))``.
+    """
+    if win_length is None:
+        win_length = n_fft if window is None else window.shape[0]
+    if window is None:
+        window = jnp.ones((win_length,), dtype=x.dtype)
+    window = _pad_window(window, n_fft)
+
+    if center:
+        pad = n_fft // 2
+        pad_widths = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        x = jnp.pad(x, pad_widths, mode=pad_mode)
+
+    frames = frame_signal(x, n_fft, hop_length)  # (..., n_frames, n_fft)
+    frames = frames * window
+    spec = rdft(frames)  # (..., n_frames, F, 2)
+    if normalized:
+        spec = spec * (n_fft ** -0.5)
+    return jnp.swapaxes(spec, -2, -3)  # (..., F, n_frames, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "center", "normalized", "length"),
+)
+def istft_ri(
+    spec: jax.Array,
+    n_fft: int,
+    hop_length: int,
+    window: Optional[jax.Array] = None,
+    win_length: Optional[int] = None,
+    center: bool = True,
+    normalized: bool = False,
+    length: Optional[int] = None,
+) -> jax.Array:
+    """Inverse RI STFT with ``torch.istft`` semantics.
+
+    Args:
+      spec: real array ``(..., F, n_frames, 2)`` with ``F == n_fft // 2 + 1``.
+    Returns:
+      real array ``(..., out_length)``.
+    """
+    if win_length is None:
+        win_length = n_fft if window is None else window.shape[0]
+    if window is None:
+        window = jnp.ones((win_length,), dtype=spec.dtype)
+    window = _pad_window(window, n_fft)
+
+    batch_shape = spec.shape[:-3]
+    f, n_frames = spec.shape[-3:-1]
+    assert f == n_fft // 2 + 1, f"expected {n_fft // 2 + 1} freq bins, got {f}"
+
+    frames = irdft(jnp.swapaxes(spec, -2, -3), n_fft)  # (..., n_frames, n_fft)
+    if normalized:
+        frames = frames * (n_fft ** 0.5)
+    frames = frames * window  # synthesis window
+
+    out_len = n_fft + hop_length * (n_frames - 1)
+    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
+    idx = jnp.asarray(idx, dtype=jnp.int32)
+
+    flat = frames.reshape((-1, n_frames * n_fft))
+    sig = jnp.zeros((flat.shape[0], out_len), dtype=frames.dtype)
+    sig = sig.at[:, idx].add(flat)
+    sig = sig.reshape(batch_shape + (out_len,))
+
+    # NOLA normalization by the overlap-added squared window envelope.
+    wsq = jnp.zeros((out_len,), dtype=frames.dtype)
+    wsq = wsq.at[idx].add(jnp.tile(window * window, n_frames))
+    sig = sig / jnp.where(wsq > 1e-11, wsq, 1.0)
+
+    if center:
+        pad = n_fft // 2
+        end = out_len - pad if length is None else pad + length
+        sig = sig[..., pad:end]
+        if length is not None and sig.shape[-1] < length:
+            sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1) + [(0, length - sig.shape[-1])])
+    elif length is not None:
+        sig = sig[..., :length]
+        if sig.shape[-1] < length:
+            sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1) + [(0, length - sig.shape[-1])])
+    return sig
+
+
+def stft(x, n_fft, hop_length, window=None, **kwargs):
+    """Complex-output convenience wrapper over :func:`stft_ri` (host/tests)."""
+    ri = stft_ri(x, n_fft, hop_length, window, **kwargs)
+    return jax.lax.complex(ri[..., 0], ri[..., 1])
+
+
+def istft(spec, n_fft, hop_length, window=None, **kwargs):
+    """Complex-input convenience wrapper over :func:`istft_ri` (host/tests)."""
+    ri = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
+    return istft_ri(ri, n_fft, hop_length, window, **kwargs)
