@@ -52,17 +52,28 @@ def _pad_window(window: jax.Array, n_fft: int) -> jax.Array:
 
 
 def frame_signal(x: jax.Array, frame_length: int, hop: int) -> jax.Array:
-    """Extract sliding frames: (..., T) -> (..., n_frames, frame_length)."""
+    """Extract sliding frames: (..., T) -> (..., n_frames, frame_length).
+
+    When ``hop`` divides ``frame_length`` (the usual STFT case) this is a
+    pure reshape + k shifted slices — zero FLOPs and exact. (An earlier
+    version used ``conv_general_dilated_patches``, but that lowers to a
+    one-hot convolution that runs at the backend's default bf16 matmul
+    precision on TPU, silently rounding the samples themselves.) The
+    irregular-hop fallback is an int32 gather, also exact.
+    """
     batch_shape = x.shape[:-1]
     t = x.shape[-1]
     n_frames = 1 + (t - frame_length) // hop
-    x2 = x.reshape((-1, 1, t))
-    # (B, frame_length, n_frames): XLA's native strided patch extraction.
-    patches = jax.lax.conv_general_dilated_patches(
-        x2, filter_shape=(frame_length,), window_strides=(hop,), padding="VALID"
+    if frame_length % hop == 0:
+        k = frame_length // hop
+        n_rows = t // hop
+        xr = x[..., : n_rows * hop].reshape(batch_shape + (n_rows, hop))
+        cols = [xr[..., s : s + n_frames, :] for s in range(k)]
+        return jnp.concatenate(cols, axis=-1)
+    idx = np.arange(n_frames, dtype=np.int32)[:, None] * hop + np.arange(
+        frame_length, dtype=np.int32
     )
-    patches = jnp.transpose(patches, (0, 2, 1))
-    return patches.reshape(batch_shape + (n_frames, frame_length))
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
 
 
 @functools.partial(

@@ -1,0 +1,313 @@
+"""Chunked overlap-add separation engine — the framework's hot path.
+
+Re-designs the reference's host-side chunk loop (reference utils.py:330-477
+``demix`` and inference_pytorch.py:55-186 ``demix_pytorch_optimized``) as
+device-resident compute:
+
+- the full (padded) mix lives in HBM once; chunks are gathered on device
+  inside jit (dynamic_slice + reflect-tail index math), never on the host
+- fade-window overlap-add accumulation happens on device into donated
+  accumulator buffers, so there is no per-batch host↔device round trip
+  (the reference moves every batch output back to CPU, utils.py:441-445)
+- the batch loop itself is an on-device ``lax.scan`` over fixed-size
+  segments, so a whole song costs a handful of dispatches and ONE compiled
+  executable is reused across songs: chunk counts are bucketed to the
+  segment size and the HBM buffers to power-of-two lengths, both of which
+  only pad compute that is masked out (weight 0)
+- with a ``jax.sharding.Mesh``, the chunk batch is sharded over the mesh's
+  ``data`` axis — the TPU equivalent of the reference's nn.DataParallel
+  (reference inference.py:209-210)
+
+Numerical semantics match the reference at ``batch_size=1`` exactly:
+linear fade window with no fade-in on the first chunk and no fade-out on
+the last (reference utils.py:432-437), per-chunk reflect padding of short
+tails when more than half a chunk remains (utils.py:417-421), outer
+reflect border padding (utils.py:391-393), and division by the window
+counter with NaN→0 (utils.py:457-459). At ``batch_size>1`` the reference
+applies the first/last-chunk window fix to a whole batch; that differs
+only at the two exact zero endpoints of the fade (where its counter math
+divides 0/0 → 0) and never inside overlap regions for ``num_overlap ≤ 10``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.ops.windows import fade_window
+
+# model_apply(params, chunks[B, ch, C]) -> [B, S, ch, C]
+ModelApply = Callable[..., jax.Array]
+
+# batches of chunks processed per device dispatch (one lax.scan segment)
+_SEG_BATCHES = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class DemixSpec:
+    """Static chunking parameters (hashable — part of the jit cache key)."""
+
+    chunk_size: int
+    num_overlap: int = 2
+    batch_size: int = 4
+    num_stems: int = 1
+    num_channels: int = 2
+    # demucs mode: plain averaging, zero tail padding, no fade window,
+    # no outer border padding (reference utils.py:376-380,443-445)
+    demucs_mode: bool = False
+
+    @property
+    def step(self) -> int:
+        return self.chunk_size // self.num_overlap
+
+    @property
+    def border(self) -> int:
+        return 0 if self.demucs_mode else self.chunk_size - self.step
+
+    @property
+    def fade_size(self) -> int:
+        return self.chunk_size // 10
+
+
+def _windows(spec: DemixSpec) -> np.ndarray:
+    """(3, chunk) stack: [interior, first-chunk, last-chunk] blend windows."""
+    c, f = spec.chunk_size, spec.fade_size
+    if spec.demucs_mode:
+        return np.ones((3, c), dtype=np.float32)
+    base = np.asarray(fade_window(c, f))
+    first = base.copy()
+    first[:f] = 1.0
+    last = base.copy()
+    last[-f:] = 1.0
+    return np.stack([base, first, last]).astype(np.float32)
+
+
+def _process_batch(
+    model_apply: ModelApply,
+    spec: DemixSpec,
+    params,
+    mix_buf: jax.Array,  # (ch, L_buf), zero-padded beyond true length
+    result: jax.Array,  # (S, ch, L_buf)
+    counter: jax.Array,  # (L_buf,)
+    windows: jax.Array,  # (3, chunk)
+    length: jax.Array,  # () int32 — true (padded-mix) length
+    n_chunks: jax.Array,  # () int32 — number of real chunks
+    first_chunk: jax.Array,  # () int32 — index of this batch's first chunk
+    batch_sharding,
+):
+    """Gather, forward, and accumulate one batch of chunks (traced)."""
+    c, step, b = spec.chunk_size, spec.step, spec.batch_size
+    chunk_idx = first_chunk + jnp.arange(b, dtype=jnp.int32)  # (B,)
+    starts = chunk_idx * step
+
+    def gather_chunk(start):
+        sliced = jax.lax.dynamic_slice(
+            mix_buf, (0, start), (mix_buf.shape[0], c)
+        )  # (ch, C); zeros beyond true length
+        m = jnp.clip(length - start, 0, c)  # valid samples in this chunk
+        k = jnp.arange(c, dtype=jnp.int32)
+        if spec.demucs_mode:
+            return jnp.where(k < m, sliced, 0.0)
+        # reflect the tail when more than half a chunk remains, else zeros
+        refl = jnp.clip(2 * m - 2 - k, 0, c - 1)
+        idx = jnp.where(k < m, k, refl)
+        gathered = jnp.take(sliced, idx, axis=-1)
+        return jnp.where(
+            (k < m) | (m > c // 2), jnp.where(k < m, sliced, gathered), 0.0
+        )
+
+    chunks = jax.vmap(gather_chunk)(starts)  # (B, ch, C)
+    if batch_sharding is not None:
+        chunks = jax.lax.with_sharding_constraint(chunks, batch_sharding)
+
+    out = model_apply(params, chunks)  # (B, S, ch, C)
+    out = out.astype(result.dtype)
+
+    # per-chunk blend window: interior / first / last
+    which = jnp.where(chunk_idx == 0, 1, jnp.where(chunk_idx == n_chunks - 1, 2, 0))
+    win = windows[which]  # (B, C)
+    # chunks past the end contribute nothing
+    valid = (chunk_idx < n_chunks).astype(win.dtype)
+    win = win * valid[:, None]
+
+    def accumulate(carry, xs):
+        result, counter = carry
+        start, o, w = xs  # (S, ch, C), (C,)
+        r_sl = jax.lax.dynamic_slice(
+            result, (0, 0, start), (result.shape[0], result.shape[1], c)
+        )
+        result = jax.lax.dynamic_update_slice(result, r_sl + o * w, (0, 0, start))
+        c_sl = jax.lax.dynamic_slice(counter, (start,), (c,))
+        counter = jax.lax.dynamic_update_slice(counter, c_sl + w, (start,))
+        return (result, counter), None
+
+    (result, counter), _ = jax.lax.scan(accumulate, (result, counter), (starts, out, win))
+    return result, counter
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model_apply", "spec", "seg_batches", "batch_sharding"),
+    donate_argnames=("result", "counter"),
+)
+def _demix_segment(
+    model_apply: ModelApply,
+    spec: DemixSpec,
+    seg_batches: int,
+    params,
+    mix_buf: jax.Array,
+    result: jax.Array,
+    counter: jax.Array,
+    windows: jax.Array,
+    length: jax.Array,
+    n_chunks: jax.Array,
+    first_chunk: jax.Array,
+    batch_sharding=None,
+):
+    """Process ``seg_batches`` consecutive batches as one on-device scan.
+
+    One executable per (spec, seg_batches, buffer-bucket); reused across
+    segments and across songs.
+    """
+
+    def body(carry, bi):
+        result, counter = carry
+        result, counter = _process_batch(
+            model_apply,
+            spec,
+            params,
+            mix_buf,
+            result,
+            counter,
+            windows,
+            length,
+            n_chunks,
+            first_chunk + bi * spec.batch_size,
+            batch_sharding,
+        )
+        return (result, counter), None
+
+    (result, counter), _ = jax.lax.scan(
+        body, (result, counter), jnp.arange(seg_batches, dtype=jnp.int32)
+    )
+    return result, counter
+
+
+@functools.partial(jax.jit, donate_argnames=("result",))
+def _finalize(result: jax.Array, counter: jax.Array) -> jax.Array:
+    est = result / jnp.where(counter > 0, counter, 1.0)[None, None, :]
+    est = jnp.where(counter[None, None, :] > 0, est, 0.0)
+    return jnp.nan_to_num(est)
+
+
+def _bucket_length(l_buf: int, chunk: int) -> int:
+    """Round the HBM buffer length up so few shapes cover all songs."""
+    base = max(l_buf, 2 * chunk)
+    # next power of two — at most ~5 distinct buckets for real-world songs
+    return 1 << (base - 1).bit_length()
+
+
+def _plan(spec: DemixSpec, length: int) -> tuple[int, int]:
+    n_chunks = max(1, -(-length // spec.step))
+    n_batches = -(-n_chunks // spec.batch_size)
+    return n_chunks, n_batches
+
+
+def demix(
+    model_apply: ModelApply,
+    params,
+    mix: np.ndarray,
+    spec: DemixSpec,
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress_cb: Optional[Callable[[float], None]] = None,
+    seg_batches: int = _SEG_BATCHES,
+) -> np.ndarray:
+    """Separate ``mix`` (channels, T) into ``(num_stems, channels, T)`` stems.
+
+    ``model_apply(params, chunks[B, ch, C]) -> [B, S, ch, C]`` must be a pure
+    jax function (it is traced under jit, once per DemixSpec).
+    """
+    mix = np.asarray(mix, dtype=np.float32)
+    assert mix.ndim == 2, f"mix must be (channels, T), got {mix.shape}"
+    length_init = mix.shape[-1]
+    border = spec.border
+
+    if not spec.demucs_mode and border > 0 and length_init > 2 * border:
+        mix = np.pad(mix, ((0, 0), (border, border)), mode="reflect")
+        padded = True
+    else:
+        padded = False
+
+    length = mix.shape[-1]
+    n_chunks, n_batches = _plan(spec, length)
+    n_segments = -(-n_batches // seg_batches)
+    l_buf = _bucket_length(
+        (n_segments * seg_batches * spec.batch_size - 1) * spec.step + spec.chunk_size,
+        spec.chunk_size,
+    )
+
+    mix_buf = jnp.asarray(np.pad(mix, ((0, 0), (0, l_buf - length))))
+    result = jnp.zeros((spec.num_stems, spec.num_channels, l_buf), dtype=jnp.float32)
+    counter = jnp.zeros((l_buf,), dtype=jnp.float32)
+    windows = jnp.asarray(_windows(spec))
+    length_a = jnp.asarray(length, dtype=jnp.int32)
+    n_chunks_a = jnp.asarray(n_chunks, dtype=jnp.int32)
+
+    batch_sharding = None
+    if mesh is not None:
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", None, None)
+        )
+
+    for si in range(n_segments):
+        result, counter = _demix_segment(
+            model_apply,
+            spec,
+            seg_batches,
+            params,
+            mix_buf,
+            result,
+            counter,
+            windows,
+            length_a,
+            n_chunks_a,
+            jnp.asarray(si * seg_batches * spec.batch_size, dtype=jnp.int32),
+            batch_sharding,
+        )
+        if progress_cb is not None:
+            progress_cb((si + 1) / n_segments)
+
+    est = _finalize(result, counter)
+
+    if padded:
+        est = est[..., border : length - border]
+    else:
+        est = est[..., :length_init]
+    return np.asarray(est)
+
+
+def apply_tta(
+    model_apply: ModelApply,
+    params,
+    mix: np.ndarray,
+    stems: np.ndarray,
+    spec: DemixSpec,
+    **demix_kwargs,
+) -> np.ndarray:
+    """Test-time augmentation: channel swap + polarity inversion, averaged.
+
+    Matches reference utils.py:241-292 ``apply_tta``: the channel-swapped
+    result is swapped back and added, the polarity-inverted result is
+    subtracted, and the total is divided by 3.
+    """
+    swapped = demix(model_apply, params, mix[::-1].copy(), spec, **demix_kwargs)
+    stems = stems + swapped[:, ::-1]
+    inverted = demix(model_apply, params, -mix, spec, **demix_kwargs)
+    stems = stems - inverted
+    return stems / 3.0

@@ -1,0 +1,157 @@
+"""Demix engine tests: overlap-add identity, parity with the reference
+chunking semantics (spec: reference utils.py:330-477 at batch_size=1),
+demucs-mode averaging, TTA math, and multi-device sharding equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sesa_tpu.runtime import DemixSpec, demix, apply_tta
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle implementing the documented reference chunking semantics
+# (linear fade window, reflect tail > chunk/2, border reflect pad, batch=1)
+# ---------------------------------------------------------------------------
+
+def oracle_demix(model_np, mix, chunk, overlap, n_stems, demucs=False):
+    step = chunk // overlap
+    fade = chunk // 10
+    border = 0 if demucs else chunk - step
+    l0 = mix.shape[-1]
+    padded = (not demucs) and border > 0 and l0 > 2 * border
+    if padded:
+        mix = np.pad(mix, ((0, 0), (border, border)), mode="reflect")
+    l = mix.shape[-1]
+
+    base = np.ones(chunk, dtype=np.float64)
+    base[:fade] = np.linspace(0, 1, fade)
+    base[-fade:] = np.linspace(1, 0, fade)
+
+    result = np.zeros((n_stems, mix.shape[0], l))
+    counter = np.zeros(l)
+    n = -(-l // step)
+    for j in range(n):
+        i = j * step
+        part = mix[:, i : i + chunk]
+        m = part.shape[-1]
+        if m < chunk:
+            if not demucs and m > chunk // 2:
+                part = np.pad(part, ((0, 0), (0, chunk - m)), mode="reflect")
+            else:
+                part = np.pad(part, ((0, 0), (0, chunk - m)))
+        out = model_np(part[None])[0]  # (S, ch, C)
+        if demucs:
+            w = np.ones(chunk)
+        else:
+            w = base.copy()
+            if j == 0:
+                w[:fade] = 1
+            elif j == n - 1:
+                w[-fade:] = 1
+        result[..., i : i + m] += out[..., :m] * w[:m]
+        counter[i : i + m] += w[:m]
+    est = result / counter[None, None, :]
+    est = np.nan_to_num(est)
+    if padded:
+        est = est[..., border:-border]
+    else:
+        est = est[..., :l0]
+    return est
+
+
+def _mix_model_np(chunks):
+    """Deterministic 2-stem toy model: (B, 2, C) -> (B, 2, 2, C)."""
+    s0 = 0.3 * chunks
+    s1 = 0.7 * chunks[:, ::-1, :]
+    return np.stack([s0, s1], axis=1)
+
+
+def _mix_model_jax(params, chunks):
+    s0 = 0.3 * chunks
+    s1 = 0.7 * chunks[:, ::-1, :]
+    return jnp.stack([s0, s1], axis=1)
+
+
+def _identity_model(params, chunks):
+    return chunks[:, None]
+
+
+@pytest.mark.parametrize("t", [44100, 100000, 12000])
+def test_overlap_add_identity(t):
+    """An identity model must reproduce the mix (bandit audio.py:447-463 pattern)."""
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((2, t)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=3, num_stems=1)
+    out = demix(_identity_model, None, mix, spec)
+    assert out.shape == (1, 2, t)
+    np.testing.assert_allclose(out[0], mix, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "t,chunk,overlap,batch",
+    [
+        (100000, 16384, 2, 1),
+        (100000, 16384, 4, 4),
+        (50001, 8192, 2, 3),
+        (9000, 16384, 2, 2),  # shorter than one chunk
+        (20000, 16384, 2, 2),  # length <= 2*border: no outer padding
+        (131072, 16384, 8, 4),
+    ],
+)
+def test_matches_reference_semantics(t, chunk, overlap, batch):
+    rng = np.random.default_rng(1)
+    mix = rng.standard_normal((2, t)).astype(np.float32)
+    ref = oracle_demix(_mix_model_np, mix.astype(np.float64), chunk, overlap, 2)
+    spec = DemixSpec(chunk_size=chunk, num_overlap=overlap, batch_size=batch, num_stems=2)
+    got = demix(_mix_model_jax, None, mix, spec)
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_demucs_mode_matches_reference_semantics():
+    rng = np.random.default_rng(2)
+    mix = rng.standard_normal((2, 70000)).astype(np.float32)
+    ref = oracle_demix(_mix_model_np, mix.astype(np.float64), 16384, 2, 2, demucs=True)
+    spec = DemixSpec(
+        chunk_size=16384, num_overlap=2, batch_size=2, num_stems=2, demucs_mode=True
+    )
+    got = demix(_mix_model_jax, None, mix, spec)
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_tta_combination():
+    """TTA math: (base + unswap(swapped) - inverted) / 3 (reference utils.py:241-292)."""
+    rng = np.random.default_rng(3)
+    mix = rng.standard_normal((2, 40000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=2, num_stems=2)
+    base = demix(_mix_model_jax, None, mix, spec)
+    out = apply_tta(_mix_model_jax, None, mix, base.copy(), spec)
+
+    swapped = demix(_mix_model_jax, None, mix[::-1].copy(), spec)
+    inverted = demix(_mix_model_jax, None, -mix, spec)
+    expected = (base + swapped[:, ::-1] - inverted) / 3.0
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+
+def test_sharded_matches_unsharded():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+    mesh = jax.sharding.Mesh(np.array(devices[:8]), ("data",))
+
+    rng = np.random.default_rng(4)
+    mix = rng.standard_normal((2, 200000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=8, num_stems=2)
+    plain = demix(_mix_model_jax, None, mix, spec)
+    sharded = demix(_mix_model_jax, None, mix, spec, mesh=mesh)
+    np.testing.assert_allclose(sharded, plain, atol=1e-6)
+
+
+def test_progress_callback():
+    progress = []
+    mix = np.zeros((2, 100000), dtype=np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=2, num_stems=1)
+    demix(_identity_model, None, mix, spec, progress_cb=progress.append)
+    assert progress and progress[-1] == 1.0
+    assert all(b >= a for a, b in zip(progress, progress[1:]))
