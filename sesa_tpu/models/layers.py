@@ -1,0 +1,174 @@
+"""Shared neural-net building blocks with exact torch inference semantics.
+
+Pure functions over parameter dicts. Weight layouts deliberately match the
+PyTorch conventions (Conv2d OIHW, ConvTranspose2d IOHW, Linear (out, in)) so
+checkpoint conversion is a pure name-mapping with no transposes.
+
+Matmul-bearing ops take a ``precision`` argument; converted-checkpoint parity
+runs at HIGHEST (this backend's default matmul precision is bf16-level).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------
+# initializers (torch-style fan-in uniform, for init parity of scale)
+# --------------------------------------------------------------------------
+
+def kaiming_uniform(rng, shape, fan_in, dtype=jnp.float32):
+    bound = float(np.sqrt(1.0 / fan_in)) if fan_in > 0 else 0.0
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+def linear(x, params, precision=DEFAULT_PRECISION):
+    """torch nn.Linear: weight (out, in), optional bias (out,)."""
+    y = jnp.einsum("...i,oi->...o", x, params["weight"], precision=precision)
+    if "bias" in params:
+        y = y + params["bias"]
+    return y
+
+
+def conv2d(x, weight, bias=None, stride=(1, 1), padding=(0, 0), groups=1,
+           precision=DEFAULT_PRECISION):
+    """torch nn.Conv2d on NCHW input with OIHW weight."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None, None]
+    return y
+
+
+def conv_transpose2d_block(x, weight, precision=DEFAULT_PRECISION):
+    """torch nn.ConvTranspose2d with kernel_size == stride (no overlap).
+
+    In that regime each input pixel expands to an independent k×k output
+    block, so the op is a single einsum + reshape — a pure GEMM on the MXU
+    instead of a transposed convolution. Weight layout IOHW (torch's).
+    """
+    b, c, h, w = x.shape
+    ci, co, kh, kw = weight.shape
+    assert c == ci
+    y = jnp.einsum("bchw,cost->bohswt", x, weight, precision=precision)
+    return y.reshape(b, co, h * kh, w * kw)
+
+
+def gelu(x):
+    """torch nn.GELU default (exact erf form)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def relu(x):
+    return jax.nn.relu(x)
+
+
+def elu(x, alpha=1.0):
+    return jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0))
+
+
+def glu(x, axis=-1):
+    """torch nn.GLU: split in half, first * sigmoid(second)."""
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+def tanh(x):
+    return jnp.tanh(x)
+
+
+# --------------------------------------------------------------------------
+# norms (inference semantics, torch eps defaults)
+# --------------------------------------------------------------------------
+
+def instance_norm2d(x, params, eps=1e-5):
+    """torch nn.InstanceNorm2d(affine=True) on NCHW: per-sample per-channel."""
+    mean = x.mean(axis=(2, 3), keepdims=True)
+    var = x.var(axis=(2, 3), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["weight"][None, :, None, None] + params["bias"][None, :, None, None]
+
+
+def group_norm(x, params, num_groups, eps=1e-5):
+    """torch nn.GroupNorm on NCHW."""
+    b, c, h, w = x.shape
+    xg = x.reshape(b, num_groups, c // num_groups, h, w)
+    mean = xg.mean(axis=(2, 3, 4), keepdims=True)
+    var = xg.var(axis=(2, 3, 4), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, h, w)
+    return y * params["weight"][None, :, None, None] + params["bias"][None, :, None, None]
+
+
+def batch_norm2d(x, params, eps=1e-5):
+    """torch nn.BatchNorm2d in eval mode (running stats)."""
+    scale = params["weight"] * jax.lax.rsqrt(params["running_var"] + eps)
+    shift = params["bias"] - params["running_mean"] * scale
+    return x * scale[None, :, None, None] + shift[None, :, None, None]
+
+
+def rms_norm(x, gamma, eps=None):
+    """lucidrains RMSNorm: F.normalize(x, dim=-1) * sqrt(dim) * gamma.
+
+    Note: this is l2-normalization (not mean-square), matching the reference
+    roformer models (reference models/bs_roformer/bs_roformer.py:43-50).
+    torch F.normalize clamps the norm at eps=1e-12.
+    """
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    scale = x.shape[-1] ** 0.5
+    return x / jnp.maximum(norm, 1e-12) * scale * gamma
+
+
+def layer_norm(x, params, eps=1e-5):
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if params is not None and "weight" in params:
+        y = y * params["weight"]
+        if "bias" in params:
+            y = y + params["bias"]
+    return y
+
+
+# --------------------------------------------------------------------------
+# norm/act dispatch mirroring the reference's config strings
+# (reference models/mdx23c_tfc_tdf_v3.py:47-71)
+# --------------------------------------------------------------------------
+
+def make_norm2d(norm_type: str):
+    """Return (apply_fn(x, params), has_params) for a norm_type string."""
+    if norm_type == "BatchNorm":
+        return batch_norm2d, True
+    if norm_type == "InstanceNorm":
+        return instance_norm2d, True
+    if norm_type and "GroupNorm" in norm_type:
+        g = int(norm_type.replace("GroupNorm", ""))
+        return lambda x, p: group_norm(x, p, g), True
+    return (lambda x, p: x), False
+
+
+def make_act(act_type: str):
+    if act_type == "gelu":
+        return gelu
+    if act_type == "relu":
+        return relu
+    if act_type[:3] == "elu":
+        alpha = float(act_type.replace("elu", "")) if act_type != "elu" else 1.0
+        return lambda x: elu(x, alpha)
+    raise ValueError(f"unknown activation: {act_type}")

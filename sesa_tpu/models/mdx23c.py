@@ -1,0 +1,308 @@
+"""MDX23C (TFC-TDF v3 U-Net) — pure-function JAX implementation.
+
+Behavioral spec: reference models/mdx23c_tfc_tdf_v3.py (TFC_TDF_net,
+141-242; STFT wrapper 7-44). Architecture: STFT with complex-as-channels
+and dim_f crop → subband fold (cac2cws) → 1×1 conv → U-Net of TFC_TDF
+blocks (two 3×3 convs around a bottlenecked frequency-MLP "TDF" branch,
+plus a 1×1 shortcut) with kernel==stride Down/Upscale convs → decoder
+output gated by the first conv output ("reduce artifacts") → final 1×1
+convs → subband unfold → zero-pad spectrum → iSTFT.
+
+Layout: NCHW with the torch channel ordering, so converted checkpoints
+drop in without transposes. Spatial dims inside the U-Net are (T, F)
+(the reference transposes to time-major before the encoder).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.models import layers as L
+from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+
+
+def _dims(config):
+    """Static dimension plan shared by init/apply/convert."""
+    k = config.model.num_subbands
+    dim_c = k * config.audio.num_channels * 2
+    n = config.model.num_scales
+    scale = tuple(config.model.scale)
+    l = config.model.num_blocks_per_scale
+    c = config.model.num_channels
+    g = config.model.growth
+    bn = config.model.bottleneck_factor
+    f = config.audio.dim_f // k
+    return k, dim_c, n, scale, l, c, g, bn, f
+
+
+def num_target_instruments(config) -> int:
+    """reference utils.py:480-499 prefer_target_instrument."""
+    if getattr(config.training, "target_instrument", None):
+        return 1
+    return len(config.training.instruments)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _init_norm(has_params, c, extra_bn=False):
+    if not has_params:
+        return {}
+    p = {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    if extra_bn:
+        p["running_mean"] = jnp.zeros((c,))
+        p["running_var"] = jnp.ones((c,))
+    return p
+
+
+def init(rng, config):
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+    norm_type = config.model.norm
+    _, has_norm = L.make_norm2d(norm_type)
+    is_bn = norm_type == "BatchNorm"
+    keys = iter(jax.random.split(rng, 4096))
+
+    def conv_w(ci, co, kh, kw):
+        return L.kaiming_uniform(next(keys), (co, ci, kh, kw), ci * kh * kw)
+
+    def lin_w(ci, co):
+        return {"weight": L.kaiming_uniform(next(keys), (co, ci), ci)}
+
+    def tfc_tdf(in_c, cc, ff):
+        blocks = []
+        for _ in range(l):
+            blocks.append(
+                {
+                    "tfc1_norm": _init_norm(has_norm, in_c, is_bn),
+                    "tfc1_conv": conv_w(in_c, cc, 3, 3),
+                    "tdf_norm1": _init_norm(has_norm, cc, is_bn),
+                    "tdf_lin1": lin_w(ff, ff // bn),
+                    "tdf_norm2": _init_norm(has_norm, cc, is_bn),
+                    "tdf_lin2": lin_w(ff // bn, ff),
+                    "tfc2_norm": _init_norm(has_norm, cc, is_bn),
+                    "tfc2_conv": conv_w(cc, cc, 3, 3),
+                    "shortcut": conv_w(in_c, cc, 1, 1),
+                }
+            )
+            in_c = cc
+        return blocks
+
+    params = {"first_conv": conv_w(dim_c, c, 1, 1)}
+    cc, ff = c, f
+    encoder = []
+    for _ in range(n):
+        block = {"tfc_tdf": tfc_tdf(cc, cc, ff)}
+        block["down_norm"] = _init_norm(has_norm, cc, is_bn)
+        block["down_conv"] = conv_w(cc, cc + g, scale[0], scale[1])
+        ff //= scale[1]
+        cc += g
+        encoder.append(block)
+    params["encoder"] = encoder
+    params["bottleneck"] = tfc_tdf(cc, cc, ff)
+    decoder = []
+    for _ in range(n):
+        block = {"up_norm": _init_norm(has_norm, cc, is_bn)}
+        # ConvTranspose2d weight layout IOHW
+        block["up_conv"] = L.kaiming_uniform(
+            next(keys), (cc, cc - g, scale[0], scale[1]), cc * scale[0] * scale[1]
+        )
+        ff *= scale[1]
+        cc -= g
+        block["tfc_tdf"] = tfc_tdf(2 * cc, cc, ff)
+        decoder.append(block)
+    params["decoder"] = decoder
+    s = num_target_instruments(config)
+    params["final_conv1"] = conv_w(cc + dim_c, cc, 1, 1)
+    params["final_conv2"] = conv_w(cc, s * dim_c, 1, 1)
+    return params
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def _apply_tfc_tdf(blocks, x, norm_fn, act):
+    for b in blocks:
+        s = L.conv2d(x, b["shortcut"])
+        x = L.conv2d(act(norm_fn(x, b["tfc1_norm"])), b["tfc1_conv"], padding=(1, 1))
+        t = L.linear(act(norm_fn(x, b["tdf_norm1"])), b["tdf_lin1"])
+        t = L.linear(act(norm_fn(t, b["tdf_norm2"])), b["tdf_lin2"])
+        x = x + t
+        x = L.conv2d(act(norm_fn(x, b["tfc2_norm"])), b["tfc2_conv"], padding=(1, 1))
+        x = x + s
+    return x
+
+
+def spectrogram(x, config):
+    """waveform (B, ch, T) -> (B, ch*2, dim_f, frames) complex-as-channels.
+
+    Matches reference models/mdx23c_tfc_tdf_v3.py:14-30 (channel order
+    (ch, re/im) major-minor, crop to dim_f).
+    """
+    n_fft = config.audio.n_fft
+    hop = config.audio.hop_length
+    window = hann_window(n_fft, dtype=x.dtype)
+    spec = stft_ri(x, n_fft, hop, window)  # (B, ch, F, T, 2)
+    spec = jnp.moveaxis(spec, -1, 2)  # (B, ch, 2, F, T)
+    b, ch, _, f, t = spec.shape
+    spec = spec.reshape(b, ch * 2, f, t)
+    return spec[:, :, : config.audio.dim_f, :]
+
+
+def inverse_spectrogram(spec, config, length):
+    """(..., ch*2, dim_f, frames) -> (..., ch, T)."""
+    n_fft = config.audio.n_fft
+    hop = config.audio.hop_length
+    window = hann_window(n_fft, dtype=spec.dtype)
+    batch_dims = spec.shape[:-3]
+    c2, f, t = spec.shape[-3:]
+    n = n_fft // 2 + 1
+    spec = jnp.concatenate(
+        [spec, jnp.zeros(batch_dims + (c2, n - f, t), dtype=spec.dtype)], axis=-2
+    )
+    spec = spec.reshape(batch_dims + (c2 // 2, 2, n, t))
+    spec = jnp.moveaxis(spec, -3, -1)  # (..., ch, F, T, 2)
+    return istft_ri(spec, n_fft, hop, window)
+
+
+def _cac2cws(x, k):
+    b, c, f, t = x.shape
+    return x.reshape(b, c, k, f // k, t).reshape(b, c * k, f // k, t)
+
+
+def _cws2cac(x, k):
+    b, c, f, t = x.shape
+    return x.reshape(b, c // k, k, f, t).reshape(b, c // k, f * k, t)
+
+
+def apply(params, config, x):
+    """(B, ch, T) -> (B, S, ch, T) separated stems (S squeezed upstream if 1)."""
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+    norm_fn, _ = L.make_norm2d(config.model.norm)
+    act = L.make_act(config.model.act)
+    s_stems = num_target_instruments(config)
+    length = x.shape[-1]
+
+    spec = spectrogram(x, config)  # (B, ch*2, dim_f, T)
+    mix = xx = _cac2cws(spec, k)  # (B, dim_c, f, T)
+
+    first_out = xx = L.conv2d(xx, params["first_conv"])
+    xx = jnp.swapaxes(xx, -1, -2)  # (B, c, T, f)
+
+    skips = []
+    for block in params["encoder"]:
+        xx = _apply_tfc_tdf(block["tfc_tdf"], xx, norm_fn, act)
+        skips.append(xx)
+        xx = L.conv2d(
+            act(norm_fn(xx, block["down_norm"])), block["down_conv"], stride=scale
+        )
+
+    xx = _apply_tfc_tdf(params["bottleneck"], xx, norm_fn, act)
+
+    for block in params["decoder"]:
+        xx = L.conv_transpose2d_block(
+            act(norm_fn(xx, block["up_norm"])), block["up_conv"]
+        )
+        xx = jnp.concatenate([xx, skips.pop()], axis=1)
+        xx = _apply_tfc_tdf(block["tfc_tdf"], xx, norm_fn, act)
+
+    xx = jnp.swapaxes(xx, -1, -2)  # back to (B, c, f, T)
+    xx = xx * first_out  # reduce artifacts (reference :230)
+    xx = L.conv2d(jnp.concatenate([mix, xx], axis=1), params["final_conv1"])
+    xx = L.conv2d(act(xx), params["final_conv2"])
+    xx = _cws2cac(xx, k)  # (B, S*ch*2, dim_f, T)
+
+    b = xx.shape[0]
+    xx = xx.reshape(b, s_stems, dim_c // k, xx.shape[-2], xx.shape[-1])
+    wav = inverse_spectrogram(xx, config, length)  # (B, S, ch, T')
+    # torch.istft with center=True returns hop*(frames-1) samples; the input
+    # chunk length is recovered because frames = 1 + T//hop.
+    if wav.shape[-1] < length:
+        wav = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, length - wav.shape[-1])])
+    return wav[..., :length]
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_torch(state_dict, config):
+    """Map a reference TFC_TDF_net state_dict onto this param pytree.
+
+    Key scheme (reference models/mdx23c_tfc_tdf_v3.py:100-187): Sequential
+    indices tfc1/tfc2 = [norm, act, conv], tdf = [norm, act, lin, norm, act,
+    lin], down/upscale .conv = [norm, act, conv], final_conv = [conv, act,
+    conv].
+    """
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+    norm_type = config.model.norm
+    _, has_norm = L.make_norm2d(norm_type)
+    is_bn = norm_type == "BatchNorm"
+    sd = {key: jnp.asarray(np.asarray(v)) for key, v in state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    def norm_params(prefix):
+        if not has_norm:
+            return {}
+        p = {"weight": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+        if is_bn:
+            p["running_mean"] = take(f"{prefix}.running_mean")
+            p["running_var"] = take(f"{prefix}.running_var")
+            used.add(f"{prefix}.num_batches_tracked")
+        return p
+
+    def tfc_tdf(prefix):
+        blocks = []
+        for i in range(l):
+            p = f"{prefix}.blocks.{i}"
+            blocks.append(
+                {
+                    "tfc1_norm": norm_params(f"{p}.tfc1.0"),
+                    "tfc1_conv": take(f"{p}.tfc1.2.weight"),
+                    "tdf_norm1": norm_params(f"{p}.tdf.0"),
+                    "tdf_lin1": {"weight": take(f"{p}.tdf.2.weight")},
+                    "tdf_norm2": norm_params(f"{p}.tdf.3"),
+                    "tdf_lin2": {"weight": take(f"{p}.tdf.5.weight")},
+                    "tfc2_norm": norm_params(f"{p}.tfc2.0"),
+                    "tfc2_conv": take(f"{p}.tfc2.2.weight"),
+                    "shortcut": take(f"{p}.shortcut.weight"),
+                }
+            )
+        return blocks
+
+    params = {"first_conv": take("first_conv.weight")}
+    encoder = []
+    for i in range(n):
+        encoder.append(
+            {
+                "tfc_tdf": tfc_tdf(f"encoder_blocks.{i}.tfc_tdf"),
+                "down_norm": norm_params(f"encoder_blocks.{i}.downscale.conv.0"),
+                "down_conv": take(f"encoder_blocks.{i}.downscale.conv.2.weight"),
+            }
+        )
+    params["encoder"] = encoder
+    params["bottleneck"] = tfc_tdf("bottleneck_block")
+    decoder = []
+    for i in range(n):
+        decoder.append(
+            {
+                "up_norm": norm_params(f"decoder_blocks.{i}.upscale.conv.0"),
+                "up_conv": take(f"decoder_blocks.{i}.upscale.conv.2.weight"),
+                "tfc_tdf": tfc_tdf(f"decoder_blocks.{i}.tfc_tdf"),
+            }
+        )
+    params["decoder"] = decoder
+    params["final_conv1"] = take("final_conv.0.weight")
+    params["final_conv2"] = take("final_conv.2.weight")
+
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
+    return params
