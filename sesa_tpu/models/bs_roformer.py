@@ -1,0 +1,354 @@
+"""BS-RoFormer — band-split RoPE transformer (the flagship family).
+
+Behavioral spec: reference models/bs_roformer/bs_roformer.py:327-622.
+Forward: STFT → pack (freq·stereo·complex) features → per-band linear embed
+(grouped GEMMs, see sesa_tpu.ops.bands) → depth × [optional linear-attention
+stage over the flattened grid, time transformer over frames, freq
+transformer over bands] with RoPE shared across depth → final RMSNorm →
+per-stem MaskEstimator → complex mask × STFT → iSTFT.
+
+The same machinery drives MelBandRoformer (overlapping mel bands,
+scatter-add mask averaging) via a different band layout; see
+sesa_tpu/models/mel_band_roformer.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.models import roformer_core as core
+from sesa_tpu.models.layers import rms_norm
+from sesa_tpu.ops import bands as B
+from sesa_tpu.ops.rope import default_freqs, rope_tables
+from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+
+DEFAULT_FREQS_PER_BANDS = (
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2,
+    4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4, 4,
+    12, 12, 12, 12, 12, 12, 12, 12,
+    24, 24, 24, 24, 24, 24, 24, 24,
+    48, 48, 48, 48, 48, 48, 48, 48,
+    128, 129,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class RoformerSpec:
+    """Static architecture spec shared by the roformer family."""
+
+    dim: int
+    depth: int
+    stereo: bool = False
+    num_stems: int = 1
+    time_transformer_depth: int = 2
+    freq_transformer_depth: int = 2
+    linear_transformer_depth: int = 0
+    dim_head: int = 64
+    heads: int = 8
+    stft_n_fft: int = 2048
+    stft_hop_length: int = 512
+    stft_win_length: int = 2048
+    stft_normalized: bool = False
+    mask_estimator_depth: int = 2
+    mlp_expansion_factor: int = 4
+    skip_connection: bool = False
+    # band layout: per-band feature index arrays (packed freq·stereo·complex)
+    band_feats: Tuple[tuple, ...] = ()
+    # mel only: pad iSTFT output back to the input length
+    match_input_audio_length: bool = False
+    # roformer_experimental extensions
+    value_residual: bool = False
+    num_residual_streams: int = 1
+
+    @property
+    def audio_channels(self) -> int:
+        return 2 if self.stereo else 1
+
+    @property
+    def num_freqs(self) -> int:
+        return self.stft_n_fft // 2 + 1
+
+    @property
+    def num_features(self) -> int:
+        return self.num_freqs * self.audio_channels * 2
+
+    def band_plan(self) -> B.BandPlan:
+        feats = [np.asarray(f, dtype=np.int32) for f in self.band_feats]
+        return B.make_band_plan(feats, self.num_features)
+
+
+_IGNORED_CONFIG_KEYS = {
+    "multi_stft_resolution_loss_weight",
+    "multi_stft_resolutions_window_sizes",
+    "multi_stft_hop_size",
+    "multi_stft_normalized",
+    "multi_stft_window_fn",
+    "stft_window_fn",
+    "attn_dropout",
+    "ff_dropout",
+    "flash_attn",
+    "use_torch_checkpoint",
+    "sage_attention",
+    "dim_freqs_in",
+    "debug",
+    "use_shared_bias",
+    "norm_output",  # handled implicitly per variant
+}
+
+
+def spec_from_config(model_cfg: dict) -> RoformerSpec:
+    """BSRoformer(**config.model) equivalent (reference utils.py:104-106)."""
+    cfg = {k: v for k, v in dict(model_cfg).items() if k not in _IGNORED_CONFIG_KEYS}
+    freqs_per_bands = tuple(cfg.pop("freqs_per_bands", DEFAULT_FREQS_PER_BANDS))
+    stereo = bool(cfg.get("stereo", False))
+    ch = 2 if stereo else 1
+    widths = [2 * f * ch for f in freqs_per_bands]
+    n_fft = int(cfg.get("stft_n_fft", 2048))
+    assert sum(freqs_per_bands) == n_fft // 2 + 1, (
+        f"bands must cover {n_fft // 2 + 1} freqs, got {sum(freqs_per_bands)}"
+    )
+    feats = tuple(tuple(f.tolist()) for f in B.contiguous_band_feats(widths))
+    return RoformerSpec(band_feats=feats, **cfg)
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = False,
+                   final_norm: bool = True):
+    plan = spec.band_plan()
+    keys = iter(jax.random.split(rng, 8 + 4 * spec.depth + spec.num_stems))
+    layers = []
+    for _ in range(spec.depth):
+        layer = {}
+        if spec.linear_transformer_depth > 0:
+            layer["linear"] = core.transformer_init(
+                next(keys), spec.dim, spec.linear_transformer_depth, spec.heads,
+                spec.dim_head, norm_output=transformer_norm_output, linear_attn=True)
+        layer["time"] = core.transformer_init(
+            next(keys), spec.dim, spec.time_transformer_depth, spec.heads,
+            spec.dim_head, norm_output=transformer_norm_output)
+        layer["freq"] = core.transformer_init(
+            next(keys), spec.dim, spec.freq_transformer_depth, spec.heads,
+            spec.dim_head, norm_output=transformer_norm_output)
+        layers.append(layer)
+
+    params = {
+        "band_split": B.band_split_init(next(keys), plan, spec.dim),
+        "layers": layers,
+        "mask_estimators": [
+            B.mask_estimator_init(next(keys), plan, spec.dim,
+                                  spec.mask_estimator_depth,
+                                  spec.mlp_expansion_factor)
+            for _ in range(spec.num_stems)
+        ],
+        "rope_time_freqs": jnp.asarray(default_freqs(spec.dim_head)),
+        "rope_freq_freqs": jnp.asarray(default_freqs(spec.dim_head)),
+    }
+    if final_norm:
+        params["final_norm_gamma"] = jnp.ones((spec.dim,))
+    return params
+
+
+def init(rng, config):
+    return init_from_spec(rng, spec_from_config(config.model),
+                          transformer_norm_output=False, final_norm=True)
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def apply_from_spec(params, spec: RoformerSpec, x, precision=None):
+    """x (B, ch, T) -> (B, num_stems, ch, T)."""
+    precision = precision or jax.lax.Precision.HIGHEST
+    plan = spec.band_plan()
+    b, ch, t = x.shape
+    assert ch == spec.audio_channels
+
+    window = hann_window(spec.stft_win_length, dtype=x.dtype)
+    s = stft_ri(
+        x, spec.stft_n_fft, spec.stft_hop_length, window,
+        win_length=spec.stft_win_length, normalized=spec.stft_normalized,
+    )  # (B, ch, F, Tf, 2)
+    tf = s.shape[-2]
+    # pack (f, s, c) minor-to-major order: feature = (f*ch + s)*2 + c
+    sp = jnp.transpose(s, (0, 3, 2, 1, 4)).reshape(b, tf, spec.num_features)
+
+    xb = B.band_split_apply(plan, params["band_split"], sp, precision=precision)
+
+    nb = plan.num_bands
+    rope_time = rope_tables(params["rope_time_freqs"], tf)
+    rope_freq = rope_tables(params["rope_freq_freqs"], nb)
+
+    store = []
+    for layer in params["layers"]:
+        if spec.skip_connection and store:
+            xb = xb + sum(store)
+        if "linear" in layer:
+            z = xb.reshape(b, tf * nb, spec.dim)
+            z = core.transformer_apply(layer["linear"], z, spec.heads,
+                                       linear_attn=True, precision=precision)
+            xb = z.reshape(b, tf, nb, spec.dim)
+        # time transformer: sequence axis = frames
+        z = jnp.transpose(xb, (0, 2, 1, 3))  # (B, NB, Tf, D)
+        z = core.transformer_apply(layer["time"], z, spec.heads, rope=rope_time,
+                                   precision=precision)
+        z = jnp.transpose(z, (0, 2, 1, 3))  # (B, Tf, NB, D)
+        # freq transformer: sequence axis = bands
+        xb = core.transformer_apply(layer["freq"], z, spec.heads, rope=rope_freq,
+                                    precision=precision)
+        if spec.skip_connection:
+            store.append(xb)
+
+    if "final_norm_gamma" in params:
+        xb = rms_norm(xb, params["final_norm_gamma"])
+
+    masks = jnp.stack(
+        [B.mask_estimator_apply(plan, p, xb, precision=precision)
+         for p in params["mask_estimators"]],
+        axis=1,
+    )  # (B, S, Tf, F2)
+
+    # complex multiply mask × stft in packed RI features
+    nstems = masks.shape[1]
+    m = masks.reshape(b, nstems, tf, spec.num_features // 2, 2)
+    sr = sp.reshape(b, 1, tf, spec.num_features // 2, 2)
+    re = m[..., 0] * sr[..., 0] - m[..., 1] * sr[..., 1]
+    im = m[..., 0] * sr[..., 1] + m[..., 1] * sr[..., 0]
+    out = jnp.stack([re, im], axis=-1)  # (B, S, Tf, F*ch, 2)
+
+    # unpack rows (f, s) -> (B, S, ch, F, Tf, 2)
+    out = out.reshape(b, nstems, tf, spec.num_freqs, ch, 2)
+    out = jnp.transpose(out, (0, 1, 4, 3, 2, 5))
+
+    # bs_roformer always passes the input length to istft; mel only when
+    # match_input_audio_length is set — but chunk lengths are hop-aligned in
+    # practice (hop*(frames-1) == T), so pad/crop to T keeps demix shapes
+    # static either way and is numerically identical on aligned chunks.
+    wav = istft_ri(
+        out, spec.stft_n_fft, spec.stft_hop_length, window,
+        win_length=spec.stft_win_length, normalized=spec.stft_normalized,
+        length=t,
+    )
+    return wav  # (B, S, ch, T)
+
+
+def apply(params, config, x, precision=None):
+    return apply_from_spec(params, spec_from_config(config.model), x,
+                           precision=precision)
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def _make_take(state_dict):
+    sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    return sd, used, take
+
+
+def convert_from_spec(state_dict, spec: RoformerSpec,
+                      transformer_norm_output: bool = False,
+                      final_norm: bool = True):
+    plan = spec.band_plan()
+    sd, used, take = _make_take(state_dict)
+
+    # band split: to_features.{i} = [RMSNorm, Linear] per band -> width groups
+    bs_groups = []
+    for g, ids in enumerate(plan.group_band_ids):
+        bs_groups.append(
+            {
+                "norm_gamma": jnp.stack([take(f"band_split.to_features.{i}.0.gamma") for i in ids]),
+                "weight": jnp.stack(
+                    # torch Linear weight (out, in) -> stacked (m, in, out)
+                    [take(f"band_split.to_features.{i}.1.weight").T for i in ids]
+                ),
+                "bias": jnp.stack([take(f"band_split.to_features.{i}.1.bias") for i in ids]),
+            }
+        )
+
+    layers = []
+    for d in range(spec.depth):
+        j = 0
+        layer = {}
+        if spec.linear_transformer_depth > 0:
+            layer["linear"] = core.convert_transformer(
+                take, f"layers.{d}.{j}", spec.linear_transformer_depth,
+                norm_output=transformer_norm_output, linear_attn=True)
+            j += 1
+        layer["time"] = core.convert_transformer(
+            take, f"layers.{d}.{j}", spec.time_transformer_depth,
+            norm_output=transformer_norm_output)
+        layer["freq"] = core.convert_transformer(
+            take, f"layers.{d}.{j + 1}", spec.freq_transformer_depth,
+            norm_output=transformer_norm_output)
+        layers.append(layer)
+
+    mask_estimators = []
+    for s in range(spec.num_stems):
+        depth = spec.mask_estimator_depth
+        hidden = []
+        for li in range(depth - 1):
+            # MLP Sequential: Linear at even indices (act between)
+            hidden.append(
+                {
+                    "weight": jnp.stack(
+                        [take(f"mask_estimators.{s}.to_freqs.{i}.0.{2 * li}.weight").T
+                         for i in range(plan.num_bands)]
+                    ),
+                    "bias": jnp.stack(
+                        [take(f"mask_estimators.{s}.to_freqs.{i}.0.{2 * li}.bias")
+                         for i in range(plan.num_bands)]
+                    ),
+                }
+            )
+        last = 2 * (depth - 1)
+        groups = []
+        for g, ids in enumerate(plan.group_band_ids):
+            groups.append(
+                {
+                    "weight": jnp.stack(
+                        [take(f"mask_estimators.{s}.to_freqs.{i}.0.{last}.weight").T for i in ids]
+                    ),
+                    "bias": jnp.stack(
+                        [take(f"mask_estimators.{s}.to_freqs.{i}.0.{last}.bias") for i in ids]
+                    ),
+                }
+            )
+        mask_estimators.append({"hidden": hidden, "groups": groups})
+
+    params = {
+        "band_split": {"groups": bs_groups},
+        "layers": layers,
+        "mask_estimators": mask_estimators,
+        "rope_time_freqs": take("time_rotary_embed.freqs"),
+        "rope_freq_freqs": take("freq_rotary_embed.freqs"),
+    }
+    if final_norm:
+        params["final_norm_gamma"] = take("final_norm.gamma")
+
+    unused = {k for k in set(sd) - used if not k.endswith(("freqs_per_band",
+              "freq_indices", "num_freqs_per_band", "num_bands_per_freq"))}
+    if unused:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
+    return params
+
+
+def convert_torch(state_dict, config):
+    return convert_from_spec(state_dict, spec_from_config(config.model),
+                             transformer_norm_output=False, final_norm=True)

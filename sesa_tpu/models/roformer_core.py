@@ -1,0 +1,192 @@
+"""Shared transformer stack for the roformer family (BS / Mel-Band / experimental).
+
+Behavioral spec: reference models/bs_roformer/bs_roformer.py:77-217
+(Attention with sigmoid per-head output gates, RMSNorm pre-norm, GELU
+FeedForward, optional XCiT-style LinearAttention stage, optional output
+RMSNorm). One implementation is shared by every variant; axial time/freq
+application happens in the model files by reshaping leading dims.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.models.layers import kaiming_uniform, rms_norm
+from sesa_tpu.ops.attention import l2norm, sdpa
+from sesa_tpu.ops.rope import apply_rope
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def attention_init(rng, dim, heads, dim_head):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    dim_inner = heads * dim_head
+    return {
+        "norm_gamma": jnp.ones((dim,)),
+        "qkv_w": kaiming_uniform(k1, (dim_inner * 3, dim), dim),
+        "gates_w": kaiming_uniform(k2, (heads, dim), dim),
+        "gates_b": kaiming_uniform(k3, (heads,), dim),
+        "out_w": kaiming_uniform(k4, (dim, dim_inner), dim_inner),
+    }
+
+
+def linear_attention_init(rng, dim, heads, dim_head):
+    k1, k2 = jax.random.split(rng, 2)
+    dim_inner = heads * dim_head
+    return {
+        "norm_gamma": jnp.ones((dim,)),
+        "qkv_w": kaiming_uniform(k1, (dim_inner * 3, dim), dim),
+        "temperature": jnp.ones((heads, 1, 1)),
+        "out_w": kaiming_uniform(k2, (dim, dim_inner), dim_inner),
+    }
+
+
+def ff_init(rng, dim, mult):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    inner = int(dim * mult)
+    return {
+        "norm_gamma": jnp.ones((dim,)),
+        "lin1_w": kaiming_uniform(k1, (inner, dim), dim),
+        "lin1_b": kaiming_uniform(k2, (inner,), dim),
+        "lin2_w": kaiming_uniform(k3, (dim, inner), inner),
+        "lin2_b": kaiming_uniform(k4, (dim,), inner),
+    }
+
+
+def transformer_init(rng, dim, depth, heads, dim_head, ff_mult=4,
+                     norm_output=False, linear_attn=False):
+    keys = jax.random.split(rng, depth * 2 + 1)
+    layers = []
+    for i in range(depth):
+        attn = (
+            linear_attention_init(keys[2 * i], dim, heads, dim_head)
+            if linear_attn
+            else attention_init(keys[2 * i], dim, heads, dim_head)
+        )
+        layers.append({"attn": attn, "ff": ff_init(keys[2 * i + 1], dim, ff_mult)})
+    params = {"layers": layers}
+    if norm_output:
+        params["norm_gamma"] = jnp.ones((dim,))
+    return params
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def attention_apply(p, x, heads, rope=None, precision=_HIGHEST):
+    """x (..., n, dim) -> (..., n, dim); rope = (cos, sin) tables for n."""
+    lead = x.shape[:-2]
+    n, dim = x.shape[-2:]
+    xn = rms_norm(x, p["norm_gamma"]).reshape(-1, n, dim)
+    b = xn.shape[0]
+
+    qkv = jnp.einsum("bnd,od->bno", xn, p["qkv_w"], precision=precision)
+    dim_head = qkv.shape[-1] // (3 * heads)
+    qkv = qkv.reshape(b, n, 3, heads, dim_head)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, b, h, n, dh)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    if rope is not None:
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    out = sdpa(q, k, v, precision=precision)  # (b, h, n, dh)
+
+    gates = jnp.einsum("bnd,hd->bnh", xn, p["gates_w"], precision=precision)
+    gates = gates + p["gates_b"]
+    out = out * jax.nn.sigmoid(jnp.transpose(gates, (0, 2, 1)))[..., None]
+
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, heads * dim_head)
+    out = jnp.einsum("bno,do->bnd", out, p["out_w"], precision=precision)
+    return out.reshape(lead + (n, dim))
+
+
+def linear_attention_apply(p, x, heads, scale=8.0, precision=_HIGHEST):
+    """XCiT-style linear attention (reference bs_roformer.py:124-175)."""
+    lead = x.shape[:-2]
+    n, dim = x.shape[-2:]
+    xn = rms_norm(x, p["norm_gamma"]).reshape(-1, n, dim)
+    b = xn.shape[0]
+
+    qkv = jnp.einsum("bnd,od->bno", xn, p["qkv_w"], precision=precision)
+    dim_head = qkv.shape[-1] // (3 * heads)
+    # reference packs 'b n (qkv h d) -> qkv b h d n'
+    qkv = qkv.reshape(b, n, 3, heads, dim_head)
+    qkv = jnp.transpose(qkv, (2, 0, 3, 4, 1))  # (3, b, h, dh, n)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    q = l2norm(q, axis=-1)
+    k = l2norm(k, axis=-1)
+    q = q * jnp.exp(p["temperature"])
+
+    out = sdpa(q, k, v, scale=scale, precision=precision)  # (b, h, dh, n)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, n, heads * dim_head)
+    out = jnp.einsum("bno,do->bnd", out, p["out_w"], precision=precision)
+    return out.reshape(lead + (n, dim))
+
+
+def ff_apply(p, x, precision=_HIGHEST):
+    xn = rms_norm(x, p["norm_gamma"])
+    h = jnp.einsum("...d,od->...o", xn, p["lin1_w"], precision=precision) + p["lin1_b"]
+    h = jax.nn.gelu(h, approximate=False)
+    return jnp.einsum("...d,od->...o", h, p["lin2_w"], precision=precision) + p["lin2_b"]
+
+
+def transformer_apply(params, x, heads, rope=None, linear_attn=False,
+                      precision=_HIGHEST):
+    for layer in params["layers"]:
+        if linear_attn:
+            x = linear_attention_apply(layer["attn"], x, heads, precision=precision) + x
+        else:
+            x = attention_apply(layer["attn"], x, heads, rope=rope, precision=precision) + x
+        x = ff_apply(layer["ff"], x, precision=precision) + x
+    if "norm_gamma" in params:
+        x = rms_norm(x, params["norm_gamma"])
+    return x
+
+
+# --------------------------------------------------------------------------
+# torch state-dict conversion
+# --------------------------------------------------------------------------
+
+def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=False):
+    """Convert one reference Transformer given a ``take(key)`` accessor."""
+    layers = []
+    for i in range(depth):
+        a = f"{prefix}.layers.{i}.0"
+        f = f"{prefix}.layers.{i}.1"
+        if linear_attn:
+            attn = {
+                "norm_gamma": take(f"{a}.norm.gamma"),
+                "qkv_w": take(f"{a}.to_qkv.0.weight"),
+                "temperature": take(f"{a}.temperature"),
+                "out_w": take(f"{a}.to_out.1.weight"),
+            }
+        else:
+            attn = {
+                "norm_gamma": take(f"{a}.norm.gamma"),
+                "qkv_w": take(f"{a}.to_qkv.weight"),
+                "gates_w": take(f"{a}.to_gates.weight"),
+                "gates_b": take(f"{a}.to_gates.bias"),
+                "out_w": take(f"{a}.to_out.0.weight"),
+            }
+        ff = {
+            "norm_gamma": take(f"{f}.net.0.gamma"),
+            "lin1_w": take(f"{f}.net.1.weight"),
+            "lin1_b": take(f"{f}.net.1.bias"),
+            "lin2_w": take(f"{f}.net.4.weight"),
+            "lin2_b": take(f"{f}.net.4.bias"),
+        }
+        layers.append({"attn": attn, "ff": ff})
+    params = {"layers": layers}
+    if norm_output:
+        params["norm_gamma"] = take(f"{prefix}.norm.gamma")
+    return params

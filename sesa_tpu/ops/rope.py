@@ -1,0 +1,45 @@
+"""Rotary position embeddings, matching rotary_embedding_torch semantics.
+
+The reference roformers share one RotaryEmbedding across all time
+transformers and one across all freq transformers (reference
+models/bs_roformer/bs_roformer.py:384-385). That library uses the
+*interleaved* pair convention: frequencies are repeated pairwise
+(f0,f0,f1,f1,...) and rotate_half maps (x0,x1) -> (-x1,x0) per adjacent
+pair. The ``freqs`` vector is a (dim//2,) parameter in checkpoints
+(``*_rotary_embed.freqs``) — loaded, not recomputed, so learned-frequency
+variants convert too.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def default_freqs(dim_head: int, theta: float = 10000.0) -> np.ndarray:
+    """Default (language-mode) inverse-frequency vector, shape (dim_head//2,)."""
+    return (
+        1.0 / (theta ** (np.arange(0, dim_head, 2)[: dim_head // 2] / dim_head))
+    ).astype(np.float32)
+
+
+def rope_tables(freqs: jax.Array, seq_len: int) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables of shape (seq_len, dim) with interleaved pair repeat."""
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    ang = t[:, None] * freqs[None, :]  # (n, dim/2)
+    ang = jnp.repeat(ang, 2, axis=-1)  # (n, dim) interleaved
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def rotate_half_interleaved(x: jax.Array) -> jax.Array:
+    """(..., d) with pairs (x0,x1) -> (-x1,x0)."""
+    x2 = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
+    a = x2[..., 0]
+    b = x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate (..., seq, dim) by position along the second-to-last axis."""
+    return x * cos + rotate_half_interleaved(x) * sin

@@ -1,0 +1,211 @@
+"""BS-RoFormer / Mel-Band RoFormer end-to-end parity vs the functional torch
+oracle, plus converter round-trips, linear-attention and skip-connection
+variants."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ml_collections import ConfigDict
+
+from sesa_tpu.models import bs_roformer, mel_band_roformer
+from sesa_tpu.ops import bands as B
+from tests.oracles import torch_roformer
+
+
+def bs_model_cfg(**over):
+    cfg = dict(
+        dim=32,
+        depth=2,
+        stereo=True,
+        num_stems=2,
+        time_transformer_depth=1,
+        freq_transformer_depth=1,
+        linear_transformer_depth=0,
+        freqs_per_bands=(2, 2, 2, 2, 2, 2, 2, 2, 4, 4, 4, 4, 16, 17),
+        dim_head=8,
+        heads=4,
+        stft_n_fft=128,
+        stft_hop_length=32,
+        stft_win_length=128,
+        mask_estimator_depth=2,
+        skip_connection=False,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def mel_model_cfg(**over):
+    cfg = dict(
+        dim=32,
+        depth=2,
+        stereo=True,
+        num_stems=1,
+        time_transformer_depth=1,
+        freq_transformer_depth=1,
+        num_bands=8,
+        sample_rate=44100,
+        dim_head=8,
+        heads=4,
+        stft_n_fft=128,
+        stft_hop_length=32,
+        stft_win_length=128,
+        mask_estimator_depth=1,
+    )
+    cfg.update(over)
+    return cfg
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a).copy())
+
+
+def export_state_dict(params, spec, transformer_norm_output, final_norm):
+    """Inverse of bs_roformer.convert_from_spec -> torch state_dict."""
+    plan = spec.band_plan()
+    sd = {}
+    for g, ids in enumerate(plan.group_band_ids):
+        gp = params["band_split"]["groups"][g]
+        for pos, i in enumerate(ids):
+            sd[f"band_split.to_features.{i}.0.gamma"] = _t(gp["norm_gamma"][pos])
+            sd[f"band_split.to_features.{i}.1.weight"] = _t(gp["weight"][pos]).T.contiguous()
+            sd[f"band_split.to_features.{i}.1.bias"] = _t(gp["bias"][pos])
+
+    def put_transformer(prefix, tp, linear_attn=False):
+        for i, layer in enumerate(tp["layers"]):
+            a, f = layer["attn"], layer["ff"]
+            ap = f"{prefix}.layers.{i}.0"
+            if linear_attn:
+                sd[f"{ap}.norm.gamma"] = _t(a["norm_gamma"])
+                sd[f"{ap}.to_qkv.0.weight"] = _t(a["qkv_w"])
+                sd[f"{ap}.temperature"] = _t(a["temperature"])
+                sd[f"{ap}.to_out.1.weight"] = _t(a["out_w"])
+            else:
+                sd[f"{ap}.norm.gamma"] = _t(a["norm_gamma"])
+                sd[f"{ap}.to_qkv.weight"] = _t(a["qkv_w"])
+                sd[f"{ap}.to_gates.weight"] = _t(a["gates_w"])
+                sd[f"{ap}.to_gates.bias"] = _t(a["gates_b"])
+                sd[f"{ap}.to_out.0.weight"] = _t(a["out_w"])
+            fp = f"{prefix}.layers.{i}.1"
+            sd[f"{fp}.net.0.gamma"] = _t(f["norm_gamma"])
+            sd[f"{fp}.net.1.weight"] = _t(f["lin1_w"])
+            sd[f"{fp}.net.1.bias"] = _t(f["lin1_b"])
+            sd[f"{fp}.net.4.weight"] = _t(f["lin2_w"])
+            sd[f"{fp}.net.4.bias"] = _t(f["lin2_b"])
+        if transformer_norm_output:
+            sd[f"{prefix}.norm.gamma"] = _t(tp["norm_gamma"])
+
+    for d, layer in enumerate(params["layers"]):
+        j = 0
+        if "linear" in layer:
+            put_transformer(f"layers.{d}.{j}", layer["linear"], linear_attn=True)
+            j += 1
+        put_transformer(f"layers.{d}.{j}", layer["time"])
+        put_transformer(f"layers.{d}.{j + 1}", layer["freq"])
+
+    for s, me in enumerate(params["mask_estimators"]):
+        for li, h in enumerate(me["hidden"]):
+            for i in range(plan.num_bands):
+                sd[f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.weight"] = _t(h["weight"][i]).T.contiguous()
+                sd[f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.bias"] = _t(h["bias"][i])
+        last = 2 * len(me["hidden"])
+        for g, ids in enumerate(plan.group_band_ids):
+            gp = me["groups"][g]
+            for pos, i in enumerate(ids):
+                sd[f"mask_estimators.{s}.to_freqs.{i}.0.{last}.weight"] = _t(gp["weight"][pos]).T.contiguous()
+                sd[f"mask_estimators.{s}.to_freqs.{i}.0.{last}.bias"] = _t(gp["bias"][pos])
+
+    sd["time_rotary_embed.freqs"] = _t(params["rope_time_freqs"])
+    sd["freq_rotary_embed.freqs"] = _t(params["rope_freq_freqs"])
+    if final_norm:
+        sd["final_norm.gamma"] = _t(params["final_norm_gamma"])
+    return sd
+
+
+@pytest.mark.parametrize(
+    "over",
+    [
+        {},
+        {"linear_transformer_depth": 1},
+        {"skip_connection": True},
+        {"stereo": False, "num_stems": 1},
+        {"mask_estimator_depth": 1},
+    ],
+)
+def test_bs_roformer_matches_torch_oracle(over):
+    mcfg = bs_model_cfg(**over)
+    config = ConfigDict({"model": mcfg})
+    spec = bs_roformer.spec_from_config(mcfg)
+    params = bs_roformer.init(jax.random.PRNGKey(0), config)
+    sd = export_state_dict(params, spec, transformer_norm_output=False, final_norm=True)
+
+    ch = 2 if mcfg["stereo"] else 1
+    x = np.random.default_rng(0).standard_normal((2, ch, 1280)).astype(np.float32) * 0.1
+
+    widths = [2 * f * ch for f in mcfg["freqs_per_bands"]]
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x), band_widths=widths,
+                                 variant="bs").numpy()
+    got = np.asarray(bs_roformer.apply(params, config, jnp.asarray(x)))
+
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_mel_band_roformer_matches_torch_oracle():
+    mcfg = mel_model_cfg()
+    config = ConfigDict({"model": mcfg})
+    spec = mel_band_roformer.spec_from_config(mcfg)
+    params = mel_band_roformer.init(jax.random.PRNGKey(1), config)
+    sd = export_state_dict(params, spec, transformer_norm_output=True, final_norm=False)
+
+    x = np.random.default_rng(1).standard_normal((2, 2, 1280)).astype(np.float32) * 0.1
+
+    # reconstruct the oracle's band data from the same mel layout
+    from sesa_tpu.ops.mel import mel_filter_bank
+
+    fb = mel_filter_bank(mcfg["sample_rate"], mcfg["stft_n_fft"], mcfg["num_bands"])
+    fb[0, 0] = 1.0
+    fb[-1, -1] = 1.0
+    mask = fb > 0
+    rows = []
+    widths = []
+    for bidx in range(mcfg["num_bands"]):
+        freqs = np.nonzero(mask[bidx])[0]
+        r = (freqs[:, None] * 2 + np.arange(2)[None, :]).reshape(-1)
+        rows.append(r)
+        widths.append(len(freqs) * 4)
+    freq_indices = torch.from_numpy(np.concatenate(rows).astype(np.int64))
+    nbpf = torch.from_numpy(mask.sum(0).astype(np.float32))
+
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x), band_widths=widths,
+                                 freq_indices=freq_indices, num_bands_per_freq=nbpf,
+                                 variant="mel").numpy()
+    got = np.asarray(mel_band_roformer.apply(params, config, jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_bs_converter_round_trip():
+    mcfg = bs_model_cfg()
+    config = ConfigDict({"model": mcfg})
+    spec = bs_roformer.spec_from_config(mcfg)
+    params = bs_roformer.init(jax.random.PRNGKey(2), config)
+    sd = export_state_dict(params, spec, transformer_norm_output=False, final_norm=True)
+    back = bs_roformer.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
+
+    leaves1 = jax.tree.leaves(params)
+    leaves2 = jax.tree.leaves(back)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_band_plan_partition_coverage():
+    mcfg = bs_model_cfg()
+    spec = bs_roformer.spec_from_config(mcfg)
+    plan = spec.band_plan()
+    assert plan.num_bands == len(mcfg["freqs_per_bands"])
+    np.testing.assert_array_equal(plan.coverage, np.ones(spec.num_features))
