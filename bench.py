@@ -1,0 +1,113 @@
+"""Headline benchmark: BS-RoFormer vocals separation RTF on one TPU chip.
+
+Separates a synthetic 60 s 44.1 kHz stereo song with a flagship-shaped
+BS-RoFormer (dim 512 / depth 12, the viperx vocals architecture —
+reference model.py:650) through the on-device demix engine in bf16, and
+reports RTF = audio-seconds processed per wall-second per chip.
+
+vs_baseline is RTF / 20: the north-star target from BASELINE.json is
+≥ 20x realtime per v5e chip (the PyTorch reference publishes no numbers
+of its own — BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ml_collections import ConfigDict
+
+from sesa_tpu.models import bs_roformer
+from sesa_tpu.runtime import DemixSpec, demix
+
+
+def flagship_config():
+    return ConfigDict(
+        {
+            "model": dict(
+                dim=512,
+                depth=12,
+                stereo=True,
+                num_stems=1,
+                time_transformer_depth=1,
+                freq_transformer_depth=1,
+                dim_head=64,
+                heads=8,
+                stft_n_fft=2048,
+                stft_hop_length=512,
+                stft_win_length=2048,
+                mask_estimator_depth=2,
+            ),
+        }
+    )
+
+
+def main():
+    song_seconds = 60
+    sr = 44100
+    chunk = 352800  # 8 s, the reference default (gui.py:272-303)
+    batch = 4
+
+    config = flagship_config()
+    params = bs_roformer.init(jax.random.PRNGKey(0), config)
+
+    def model_apply(p, chunks):
+        return bs_roformer.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
+
+    spec = DemixSpec(chunk_size=chunk, num_overlap=2, batch_size=batch, num_stems=1)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(song_seconds * sr) / sr
+    song = (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.1 * rng.standard_normal(song_seconds * sr)
+    ).astype(np.float32)
+    mix = np.stack([song, 0.9 * song])
+
+    # warmup / compile
+    t0 = time.time()
+    demix(model_apply, params, mix, spec)
+    compile_s = time.time() - t0
+
+    # timed runs
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = demix(model_apply, params, mix, spec)
+        times.append(time.time() - t0)
+    assert np.isfinite(out).all()
+
+    best = min(times)
+    rtf = song_seconds / best
+    print(
+        json.dumps(
+            {
+                "metric": "bs_roformer_vocals_rtf",
+                "value": round(rtf, 2),
+                "unit": "audio_sec_per_sec_per_chip",
+                "vs_baseline": round(rtf / 20.0, 3),
+                "detail": {
+                    "song_seconds": song_seconds,
+                    "chunk_size": chunk,
+                    "batch_size": batch,
+                    "num_overlap": 2,
+                    "best_wall_s": round(best, 3),
+                    "compile_s": round(compile_s, 1),
+                    "dim": 512,
+                    "depth": 12,
+                    "compute_dtype": "bfloat16",
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

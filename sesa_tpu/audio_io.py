@@ -1,0 +1,98 @@
+"""Host-side audio I/O without hard external dependencies.
+
+The reference reads with librosa/soundfile and writes FLAC/PCM_24 via
+libsndfile (reference inference.py:86,134-144, utils.py:164-196). Neither
+is guaranteed here, so WAV read/write is implemented on scipy + the stdlib
+``wave`` module (including 24-bit PCM), with soundfile used transparently
+when available (adds FLAC support).
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import soundfile as _sf
+except ImportError:
+    _sf = None
+
+
+def read_audio(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Read an audio file → ((channels, T) float32, sample_rate).
+
+    Mono files come back as (1, T), matching the reference's
+    read_audio_transposed (utils.py:164-196). When ``target_sr`` differs
+    from the file rate, the audio is resampled with polyphase filtering.
+    """
+    if _sf is not None:
+        data, sr = _sf.read(path, always_2d=True)
+        data = data.T.astype(np.float32)
+    else:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        if data.ndim == 1:
+            data = data[:, None]
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        elif data.dtype == np.int32:
+            data = data.astype(np.float32) / 2147483648.0
+        elif data.dtype == np.uint8:
+            data = (data.astype(np.float32) - 128.0) / 128.0
+        else:
+            data = data.astype(np.float32)
+        data = data.T
+
+    if target_sr is not None and target_sr != sr:
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(target_sr, sr)
+        data = resample_poly(data, target_sr // g, sr // g, axis=-1).astype(np.float32)
+        sr = target_sr
+    return np.ascontiguousarray(data), sr
+
+
+def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -> None:
+    """Write (channels, T) float32 audio. subtype: FLOAT | PCM_16 | PCM_24.
+
+    ``.flac`` requires soundfile; without it a ``.wav`` of the requested
+    PCM depth is written instead (path extension is adjusted).
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    data = audio.T  # (T, channels)
+
+    ext = os.path.splitext(path)[1].lower()
+    if _sf is not None:
+        _sf.write(path, data, sr, subtype=subtype)
+        return
+    if ext == ".flac":
+        path = os.path.splitext(path)[0] + ".wav"
+
+    if subtype == "FLOAT":
+        from scipy.io import wavfile
+
+        wavfile.write(path, sr, data)
+        return
+
+    clipped = np.clip(data, -1.0, 1.0)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(data.shape[1])
+        w.setframerate(sr)
+        if subtype == "PCM_16":
+            w.setsampwidth(2)
+            w.writeframes((clipped * 32767.0).astype("<i2").tobytes())
+        elif subtype == "PCM_24":
+            w.setsampwidth(3)
+            as_int = (clipped * 8388607.0).astype("<i4")
+            raw = as_int.astype("<i4").tobytes()
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+            w.writeframes(b[:, :3].tobytes())
+        else:
+            raise ValueError(f"unknown subtype {subtype}")

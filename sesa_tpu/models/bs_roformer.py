@@ -167,9 +167,17 @@ def init(rng, config):
 # apply
 # --------------------------------------------------------------------------
 
-def apply_from_spec(params, spec: RoformerSpec, x, precision=None):
-    """x (B, ch, T) -> (B, num_stems, ch, T)."""
-    precision = precision or jax.lax.Precision.HIGHEST
+def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
+                    compute_dtype=None):
+    """x (B, ch, T) -> (B, num_stems, ch, T).
+
+    ``compute_dtype=jnp.bfloat16`` runs the transformer stack in bf16 (the
+    analog of the reference's AMP autocast, utils.py:399) while the STFT,
+    mask multiply, and iSTFT stay float32.
+    """
+    if precision is None:
+        precision = (jax.lax.Precision.DEFAULT if compute_dtype is not None
+                     else jax.lax.Precision.HIGHEST)
     plan = spec.band_plan()
     b, ch, t = x.shape
     assert ch == spec.audio_channels
@@ -183,11 +191,17 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None):
     # pack (f, s, c) minor-to-major order: feature = (f*ch + s)*2 + c
     sp = jnp.transpose(s, (0, 3, 2, 1, 4)).reshape(b, tf, spec.num_features)
 
-    xb = B.band_split_apply(plan, params["band_split"], sp, precision=precision)
-
     nb = plan.num_bands
-    rope_time = rope_tables(params["rope_time_freqs"], tf)
-    rope_freq = rope_tables(params["rope_freq_freqs"], nb)
+    # RoPE tables in float32 (bf16 angles lose phase accuracy at long range)
+    rope_time = rope_tables(params["rope_time_freqs"].astype(jnp.float32), tf)
+    rope_freq = rope_tables(params["rope_freq_freqs"].astype(jnp.float32), nb)
+
+    net_in = sp if compute_dtype is None else sp.astype(compute_dtype)
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+        rope_time = tuple(r.astype(compute_dtype) for r in rope_time)
+        rope_freq = tuple(r.astype(compute_dtype) for r in rope_freq)
+    xb = B.band_split_apply(plan, params["band_split"], net_in, precision=precision)
 
     store = []
     for layer in params["layers"]:
@@ -216,7 +230,7 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None):
         [B.mask_estimator_apply(plan, p, xb, precision=precision)
          for p in params["mask_estimators"]],
         axis=1,
-    )  # (B, S, Tf, F2)
+    ).astype(jnp.float32)  # (B, S, Tf, F2)
 
     # complex multiply mask × stft in packed RI features
     nstems = masks.shape[1]
@@ -242,9 +256,9 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None):
     return wav  # (B, S, ch, T)
 
 
-def apply(params, config, x, precision=None):
+def apply(params, config, x, precision=None, compute_dtype=None):
     return apply_from_spec(params, spec_from_config(config.model), x,
-                           precision=precision)
+                           precision=precision, compute_dtype=compute_dtype)
 
 
 # --------------------------------------------------------------------------

@@ -63,9 +63,9 @@ def init(rng, config):
                           transformer_norm_output=True, final_norm=False)
 
 
-def apply(params, config, x, precision=None):
+def apply(params, config, x, precision=None, compute_dtype=None):
     return apply_from_spec(params, spec_from_config(config.model), x,
-                           precision=precision)
+                           precision=precision, compute_dtype=compute_dtype)
 
 
 def convert_torch(state_dict, config):

@@ -1,0 +1,201 @@
+"""Inference sessions: the compile-once-per-shape separation surface.
+
+The analog of the reference's PyTorchBackend + run_folder flow
+(reference pytorch_backend.py:492-536, inference.py:61-146): bundle a
+model, its config, converted weights, and a DemixSpec into one object
+whose ``separate`` call runs the whole song on device. Where the
+reference offers optimize modes (compile/channels_last/AMP,
+pytorch_backend.py:75-207), here everything is always jitted and the one
+knob that matters on TPU is the compute dtype (bf16 ≈ AMP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sesa_tpu.configs import load_config
+from sesa_tpu.convert import convert_checkpoint, load_torch_state_dict
+from sesa_tpu.models import get_model
+from sesa_tpu.runtime.demix import DemixSpec, apply_tta, demix
+
+
+def normalize_audio(audio: np.ndarray):
+    """Mono-statistics normalization (reference utils.py:199-217)."""
+    mono = audio.mean(0)
+    mean, std = mono.mean(), mono.std()
+    return (audio - mean) / std, {"mean": mean, "std": std}
+
+
+def denormalize_audio(audio: np.ndarray, norm: Dict[str, float]) -> np.ndarray:
+    return audio * norm["std"] + norm["mean"]
+
+
+def prefer_target_instrument(config) -> List[str]:
+    """reference utils.py:480-499."""
+    if getattr(config.training, "target_instrument", None):
+        return [config.training.target_instrument]
+    return list(config.training.instruments)
+
+
+@dataclasses.dataclass
+class InferenceSession:
+    model_type: str
+    config: object
+    params: object
+    spec: DemixSpec
+    compute_dtype: Optional[object] = None
+    mesh: Optional[jax.sharding.Mesh] = None
+
+    @classmethod
+    def create(
+        cls,
+        model_type: str,
+        config_path: str,
+        checkpoint_path: str = "",
+        *,
+        chunk_size: Optional[int] = None,
+        num_overlap: Optional[int] = None,
+        batch_size: Optional[int] = None,
+        compute_dtype=jnp.bfloat16,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        seed: int = 0,
+    ) -> "InferenceSession":
+        config = load_config(model_type, config_path)
+        model = get_model(model_type)
+        if checkpoint_path:
+            sd = load_torch_state_dict(checkpoint_path)
+            params = convert_checkpoint(model_type, sd, config)
+        else:
+            params = model.init(jax.random.PRNGKey(seed), config)
+
+        demucs_mode = model_type == "htdemucs"
+        if demucs_mode:
+            chunk = int(config.training.samplerate * config.training.segment)
+            stems = len(config.training.instruments)
+        else:
+            chunk = int(chunk_size or config.audio.chunk_size)
+            stems = len(prefer_target_instrument(config))
+        spec = DemixSpec(
+            chunk_size=chunk,
+            num_overlap=int(num_overlap or config.inference.num_overlap),
+            batch_size=int(batch_size or getattr(config.inference, "batch_size", 4)),
+            num_stems=stems,
+            num_channels=int(getattr(config.audio, "num_channels", 2)),
+            demucs_mode=demucs_mode,
+        )
+        return cls(model_type, config, params, spec, compute_dtype, mesh)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def instruments(self) -> List[str]:
+        if self.spec.demucs_mode:
+            return list(self.config.training.instruments)
+        return prefer_target_instrument(self.config)
+
+    @property
+    def sample_rate(self) -> int:
+        return int(getattr(self.config.audio, "sample_rate", 44100))
+
+    def _model_apply(self):
+        model = get_model(self.model_type)
+        config = self.config
+        dtype = self.compute_dtype
+        stems = self.spec.num_stems
+
+        def apply_fn(params, chunks):
+            try:
+                out = model.apply(params, config, chunks, compute_dtype=dtype)
+            except TypeError:
+                out = model.apply(params, config, chunks)
+            if out.ndim == 3:  # single-stem models may squeeze
+                out = out[:, None]
+            assert out.shape[1] == stems, (out.shape, stems)
+            return out
+
+        return apply_fn
+
+    def separate(
+        self,
+        mix: np.ndarray,
+        *,
+        use_tta: bool = False,
+        progress_cb: Optional[Callable[[float], None]] = None,
+    ) -> Dict[str, np.ndarray]:
+        """(channels, T) -> {instrument: (channels, T)} separated stems.
+
+        Mirrors reference run_folder (inference.py:84-132): optional
+        mono-statistics normalization, demix, optional TTA, denormalize.
+        """
+        mix = np.asarray(mix, dtype=np.float32)
+        if mix.ndim == 1:
+            mix = mix[None]
+        if mix.shape[0] == 1 and self.spec.num_channels == 2:
+            mix = np.repeat(mix, 2, axis=0)
+
+        norm = None
+        if bool(getattr(self.config.inference, "normalize", False)):
+            mix, norm = normalize_audio(mix)
+
+        apply_fn = self._model_apply()
+        stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
+                      progress_cb=progress_cb)
+        if use_tta:
+            stems = apply_tta(apply_fn, self.params, mix, stems, self.spec,
+                              mesh=self.mesh)
+
+        out = {}
+        for i, name in enumerate(self.instruments):
+            est = stems[i]
+            if norm is not None:
+                est = denormalize_audio(est, norm)
+            out[name] = est
+        return out
+
+    def separate_with_extras(
+        self,
+        mix: np.ndarray,
+        *,
+        use_tta: bool = False,
+        extract_instrumental: bool = False,
+        demud_phaseremix_inst: bool = False,
+        progress_cb=None,
+    ) -> Dict[str, np.ndarray]:
+        """separate() plus the reference CLI's derived outputs
+        (reference inference.py:103-126): instrumental = mix − vocals, and
+        the demud phaseremix re-separation trick."""
+        mix = np.asarray(mix, dtype=np.float32)
+        if mix.ndim == 1:
+            mix = mix[None]
+        if mix.shape[0] == 1 and self.spec.num_channels == 2:
+            mix = np.repeat(mix, 2, axis=0)
+        mix_orig = mix.copy()
+
+        waveforms = self.separate(mix, use_tta=use_tta, progress_cb=progress_cb)
+        instruments = list(waveforms)
+
+        if demud_phaseremix_inst:
+            instr = "vocals" if "vocals" in instruments else instruments[0]
+            if not any(i.lower() == "instrumental" for i in instruments):
+                mix_mod = mix_orig - 2 * waveforms[instr]
+                second = self.separate(mix_mod, use_tta=use_tta)
+                waveforms["instrumental_phaseremix"] = mix_orig + second[instr]
+            else:
+                mix_mod = 2 * waveforms[instr] - mix_orig
+                second = self.separate(mix_mod, use_tta=use_tta)
+                waveforms["instrumental_phaseremix"] = (
+                    mix_orig + mix_mod - second[instr]
+                )
+
+        if extract_instrumental:
+            instr = "vocals" if "vocals" in instruments else instruments[0]
+            if "instrumental" not in waveforms:
+                waveforms["instrumental"] = mix_orig - waveforms[instr]
+
+        return waveforms

@@ -1,0 +1,124 @@
+"""Registry layer: data integrity, URL fixing, YAML repair, conf_edit,
+custom-model CRUD (network-free)."""
+
+import os
+
+import pytest
+import yaml
+
+from sesa_tpu import registry as R
+
+
+def test_registry_data_loaded():
+    total = sum(len(cat) for cat in R.MODEL_CONFIGS.values())
+    assert total >= 120, total
+    assert "Vocal Models" in R.MODEL_CONFIGS
+    entry = R.MODEL_CONFIGS["Vocal Models"]["VOCALS-BS-Roformer_1297 (by viperx)"]
+    assert entry["model_type"] == "bs_roformer"
+    assert any("http" in u for u in entry["download_urls"] if isinstance(u, str))
+
+
+def test_every_entry_is_wellformed():
+    for cat, models in R.MODEL_CONFIGS.items():
+        for name, e in models.items():
+            assert e["model_type"], (cat, name)
+            assert e["config_path"], (cat, name)
+            assert e["start_check_point"], (cat, name)
+            assert e["download_urls"], (cat, name)
+
+
+def test_fix_huggingface_url():
+    u = "https://huggingface.co/u/r/blob/main/m.ckpt"
+    assert R.fix_huggingface_url(u) == "https://huggingface.co/u/r/resolve/main/m.ckpt"
+    assert R.fix_huggingface_url("https://github.com/x") == "https://github.com/x"
+    assert R.fix_huggingface_url(None) is None
+
+
+def test_validate_yaml_content_rejects_html():
+    ok, err = R.validate_yaml_content("<!DOCTYPE html><html>...")
+    assert not ok and "/resolve/" in err
+    ok, _ = R.validate_yaml_content("audio:\n  chunk_size: 352800\n")
+    assert ok
+
+
+def test_preprocess_yaml_quotes_urls_and_tabs():
+    raw = "model:\n\turl: https://x.com/a:b\n\tpath: C:\\models\\x\n\tdim: 512\n"
+    fixed = R.preprocess_yaml_content(raw)
+    data = yaml.safe_load(fixed)
+    assert data["model"]["url"] == "https://x.com/a:b"
+    assert data["model"]["dim"] == 512
+
+
+def test_conf_edit_preserves_native_chunk(tmp_path, monkeypatch):
+    monkeypatch.setattr(R.models if hasattr(R, "models") else R, "CHECKPOINT_DIR", str(tmp_path), raising=False)
+    import sesa_tpu.registry.models as M
+
+    monkeypatch.setattr(M, "CHECKPOINT_DIR", str(tmp_path))
+    cfg = {"audio": {"chunk_size": 485100}, "inference": {"batch_size": 1}}
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    M.conf_edit("c.yaml", chunk_size=123, overlap=4)
+    out = yaml.safe_load(p.read_text())
+    assert out["audio"]["chunk_size"] == 485100  # native preserved
+    assert out["inference"]["num_overlap"] == 4
+    assert out["inference"]["batch_size"] == 2  # bumped from 1
+    assert out["training"]["use_amp"] is True
+    assert not os.path.exists(str(p) + ".backup")
+
+
+def test_conf_edit_restores_backup_on_html(tmp_path, monkeypatch):
+    import sesa_tpu.registry.models as M
+
+    monkeypatch.setattr(M, "CHECKPOINT_DIR", str(tmp_path))
+    p = tmp_path / "bad.yaml"
+    p.write_text("<html>nope</html>")
+    with pytest.raises(ValueError):
+        M.conf_edit("bad.yaml", 1, 2)
+    assert p.read_text() == "<html>nope</html>"  # restored
+
+
+def test_custom_model_crud(tmp_path, monkeypatch):
+    import sesa_tpu.registry.models as M
+
+    monkeypatch.setattr(M, "CUSTOM_MODELS_FILE", str(tmp_path / "custom.json"))
+    monkeypatch.setattr(M, "CHECKPOINT_DIR", str(tmp_path))
+
+    ok, msg = M.add_custom_model(
+        "My Model", "auto",
+        "https://huggingface.co/u/r/blob/main/my_bs_roformer.ckpt",
+        "https://huggingface.co/u/r/blob/main/cfg.yaml",
+    )
+    assert ok, msg
+    models = M.load_custom_models()
+    assert models["My Model"]["model_type"] == "bs_roformer"
+    assert "/resolve/" in models["My Model"]["checkpoint_url"]
+
+    ok, msg = M.add_custom_model("My Model", "auto",
+                                 "https://x/other_bs_roformer.ckpt", "https://x/c.yaml")
+    assert not ok and "exists" in msg
+
+    assert ("My Model", "bs_roformer") in M.get_custom_models_list()
+    assert "Custom Models" in M.get_all_model_configs_with_custom()
+
+    ok, _ = M.delete_custom_model("My Model")
+    assert ok and M.load_custom_models() == {}
+
+
+def test_detect_model_type():
+    assert R.detect_model_type_from_url("https://x/MelBandRoformer_big.ckpt") == "mel_band_roformer"
+    assert R.detect_model_type_from_url("https://x/model_mdx23c.ckpt") == "mdx23c"
+    assert R.detect_model_type_from_url("https://x/unknown.bin") is None
+
+
+def test_get_model_config_lists_names():
+    names = R.get_model_config()
+    assert len(names) >= 120
+    assert "VOCALS-MelBand-Roformer (by KimberleyJSN)" in names
+
+
+def test_registry_model_types_are_dispatchable():
+    from sesa_tpu.models.registry import MODEL_TYPES
+
+    types = {e["model_type"] for cat in R.MODEL_CONFIGS.values() for e in cat.values()}
+    unknown = types - set(MODEL_TYPES) - {"bs_roformer_custom"}
+    assert not unknown, unknown
