@@ -13,12 +13,22 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 import jax
+
+try:  # persistent XLA compilation cache: first bench of a session is slow,
+    # later runs (and later rounds) reuse the compiled executables
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 from ml_collections import ConfigDict

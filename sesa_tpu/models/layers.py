@@ -94,6 +94,94 @@ def tanh(x):
     return jnp.tanh(x)
 
 
+def conv1d(x, weight, bias=None, stride=1, padding=0, groups=1,
+           precision=DEFAULT_PRECISION):
+    """torch nn.Conv1d on (B, C, T) with (O, I/g, K) weight."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        weight,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def conv_transpose2d(x, weight, bias=None, stride=(1, 1), padding=(0, 0),
+                     precision=DEFAULT_PRECISION):
+    """torch nn.ConvTranspose2d on NCHW with IOHW weight (general strides).
+
+    Implemented as a fractionally-strided convolution: dilate the input by
+    ``stride``, convolve with the spatially-flipped kernel (I/O swapped),
+    and trim ``padding`` — the standard transposed-conv equivalence.
+    """
+    kh, kw = weight.shape[2], weight.shape[3]
+    w = jnp.flip(weight, axis=(2, 3)).transpose(1, 0, 2, 3)  # IOHW -> OIHW flipped
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - padding[0], kh - 1 - padding[0]),
+                 (kw - 1 - padding[1], kw - 1 - padding[1])],
+        lhs_dilation=stride,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=precision,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None, None]
+    return y
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def lstm(x, params, reverse=False, precision=DEFAULT_PRECISION):
+    """Single-layer unidirectional LSTM over (B, T, D), torch weight layout.
+
+    params: weight_ih (4H, D), weight_hh (4H, H), bias_ih (4H,), bias_hh (4H,)
+    with torch's gate order (input, forget, cell, output). Returns (B, T, H).
+    Implemented as a ``lax.scan`` over time; the input projection for all
+    steps is hoisted out of the scan as one big GEMM.
+    """
+    w_ih = params["weight_ih"]
+    w_hh = params["weight_hh"]
+    b = params.get("bias_ih", 0) + params.get("bias_hh", 0)
+    h_dim = w_hh.shape[1]
+
+    # (B, T, 4H): all-timestep input projection in one GEMM
+    xproj = jnp.einsum("btd,gd->btg", x, w_ih, precision=precision) + b
+    if reverse:
+        xproj = jnp.flip(xproj, axis=1)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum("bh,gh->bg", h, w_hh, precision=precision)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    bsz = x.shape[0]
+    init = (jnp.zeros((bsz, h_dim), x.dtype), jnp.zeros((bsz, h_dim), x.dtype))
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    if reverse:
+        hs = jnp.flip(hs, axis=1)
+    return hs
+
+
+def bilstm(x, params, precision=DEFAULT_PRECISION):
+    """Bidirectional LSTM: params has 'fwd' and 'bwd' sub-dicts; concat on H."""
+    fwd = lstm(x, params["fwd"], precision=precision)
+    bwd = lstm(x, params["bwd"], reverse=True, precision=precision)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 # --------------------------------------------------------------------------
 # norms (inference semantics, torch eps defaults)
 # --------------------------------------------------------------------------
@@ -107,13 +195,15 @@ def instance_norm2d(x, params, eps=1e-5):
 
 
 def group_norm(x, params, num_groups, eps=1e-5):
-    """torch nn.GroupNorm on NCHW."""
-    b, c, h, w = x.shape
-    xg = x.reshape(b, num_groups, c // num_groups, h, w)
-    mean = xg.mean(axis=(2, 3, 4), keepdims=True)
-    var = xg.var(axis=(2, 3, 4), keepdims=True)
-    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, c, h, w)
-    return y * params["weight"][None, :, None, None] + params["bias"][None, :, None, None]
+    """torch nn.GroupNorm on (B, C, *spatial) for any spatial rank."""
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    xg = x.reshape(b, num_groups, -1)
+    mean = xg.mean(axis=-1, keepdims=True)
+    var = xg.var(axis=-1, keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    shape = (1, c) + (1,) * len(spatial)
+    return y * params["weight"].reshape(shape) + params["bias"].reshape(shape)
 
 
 def batch_norm2d(x, params, eps=1e-5):

@@ -64,6 +64,17 @@ def rdft(x: jax.Array) -> jax.Array:
     return jnp.stack([re, im], axis=-1)
 
 
+def rdft_ortho(x: jax.Array) -> jax.Array:
+    """Ortho-normalized real DFT (torch.fft.rfft(..., norm='ortho'))."""
+    n = x.shape[-1]
+    return rdft(x) * (n ** -0.5)
+
+
+def irdft_ortho(spec_ri: jax.Array, n: int) -> jax.Array:
+    """Ortho-normalized inverse real DFT (torch.fft.irfft(..., norm='ortho'))."""
+    return irdft(spec_ri, n) * (n ** 0.5)
+
+
 def irdft(spec_ri: jax.Array, n: int) -> jax.Array:
     """Inverse real DFT: (..., N//2+1, 2) RI spectrum -> (..., N) real."""
     ci, si = _irdft_mats(n)

@@ -175,8 +175,16 @@ def _demix_segment(
     segments and across songs.
     """
 
-    def body(carry, bi):
-        result, counter = carry
+    n_batches = (n_chunks + spec.batch_size - 1) // spec.batch_size
+    first_batch = first_chunk // spec.batch_size
+    hi = jnp.minimum(first_batch + seg_batches, n_batches)
+
+    def cond(state):
+        bi, _, _ = state
+        return bi < hi
+
+    def body(state):
+        bi, result, counter = state
         result, counter = _process_batch(
             model_apply,
             spec,
@@ -187,13 +195,16 @@ def _demix_segment(
             windows,
             length,
             n_chunks,
-            first_chunk + bi * spec.batch_size,
+            bi * spec.batch_size,
             batch_sharding,
         )
-        return (result, counter), None
+        return (bi + 1, result, counter)
 
-    (result, counter), _ = jax.lax.scan(
-        body, (result, counter), jnp.arange(seg_batches, dtype=jnp.int32)
+    # while_loop (not scan): the trip count is the TRACED number of real
+    # batches, so short songs don't pay for padded scan iterations while the
+    # executable still serves every song length.
+    _, result, counter = jax.lax.while_loop(
+        cond, body, (first_batch, result, counter)
     )
     return result, counter
 

@@ -1,0 +1,141 @@
+"""SCNet end-to-end parity vs the functional torch oracle + primitive checks
+(BiLSTM vs torch.nn.LSTM, general conv_transpose2d vs torch)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from ml_collections import ConfigDict
+
+from sesa_tpu.models import layers as L
+from sesa_tpu.models import scnet
+
+
+def tiny_kwargs():
+    return dict(
+        sources=["drums", "bass", "other", "vocals"],
+        audio_channels=2,
+        dims=[4, 8, 12, 16],
+        nfft=512,
+        hop_size=128,
+        win_size=512,
+        normalized=True,
+        band_SR=[0.175, 0.392, 0.433],
+        band_stride=[1, 4, 16],
+        band_kernel=[3, 4, 16],
+        conv_depths=[2, 1, 1],
+        compress=4,
+        conv_kernel=3,
+        num_dplayer=2,
+        expand=1,
+    )
+
+
+def export_state_dict(params, kw):
+    """Inverse of scnet.convert_torch."""
+    sd = {}
+
+    def put(prefix, p):
+        for name in ("weight", "bias"):
+            sd[f"{prefix}.{name}"] = torch.from_numpy(np.asarray(p[name]).copy())
+
+    for i, blk in enumerate(params["encoder"]):
+        for bi in range(3):
+            put(f"encoder.{i}.SDlayer.convs.{bi}", blk["sd_convs"][bi])
+            for d, cm in enumerate(blk["conv_modules"][bi]):
+                p = f"encoder.{i}.conv_modules.{bi}.layers.{d}"
+                put(f"{p}.0", cm["norm1"])
+                put(f"{p}.1", cm["conv_in"])
+                put(f"{p}.3", cm["conv_dw"])
+                put(f"{p}.4", cm["norm2"])
+                put(f"{p}.6", cm["conv_pw"])
+        put(f"encoder.{i}.globalconv", blk["global_conv"])
+
+    for i, layer in enumerate(params["separation"]):
+        p = f"separation_net.dp_modules.{i}"
+        for j, name in enumerate(("freq", "time")):
+            put(f"{p}.norm_layers.{j}", layer[name]["norm"])
+            put(f"{p}.linear_layers.{j}", layer[name]["linear"])
+            for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+                lp = layer[name]["lstm"][direction]
+                for wn in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                    sd[f"{p}.lstm_layers.{j}.{wn}_l0{suffix}"] = torch.from_numpy(
+                        np.asarray(lp[wn]).copy()
+                    )
+
+    for i, blk in enumerate(params["decoder"]):
+        put(f"decoder.{i}.0.conv", blk["fusion_conv"])
+        for bi in range(3):
+            put(f"decoder.{i}.1.convtrs.{bi}", blk["su_convs"][bi])
+    return sd
+
+
+def test_bilstm_matches_torch():
+    rng = np.random.default_rng(0)
+    d, h, b, t = 12, 12, 3, 17
+    mk = lambda *shape: rng.standard_normal(shape).astype(np.float32) * 0.3
+    params = {
+        dirname: {
+            "weight_ih": jnp.asarray(mk(4 * h, d)),
+            "weight_hh": jnp.asarray(mk(4 * h, h)),
+            "bias_ih": jnp.asarray(mk(4 * h)),
+            "bias_hh": jnp.asarray(mk(4 * h)),
+        }
+        for dirname in ("fwd", "bwd")
+    }
+    x = mk(b, t, d)
+
+    mod = torch.nn.LSTM(d, h, num_layers=1, bidirectional=True, batch_first=True)
+    with torch.no_grad():
+        for tname, direction in (("", "fwd"), ("_reverse", "bwd")):
+            for wn in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                getattr(mod, f"{wn}_l0{tname}").copy_(
+                    torch.from_numpy(np.asarray(params[direction][wn]))
+                )
+    ref, _ = mod(torch.from_numpy(x))
+    got = np.asarray(L.bilstm(jnp.asarray(x), params))
+    np.testing.assert_allclose(got, ref.detach().numpy(), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stride,kernel", [(1, 3), (4, 4), (16, 16), (2, 5)])
+def test_conv_transpose2d_matches_torch(stride, kernel):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 6, 11, 7)).astype(np.float32)
+    w = rng.standard_normal((6, 4, kernel, 1)).astype(np.float32) * 0.2
+    bias = rng.standard_normal(4).astype(np.float32)
+    ref = torch.conv_transpose2d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(bias),
+        stride=(stride, 1)).numpy()
+    got = np.asarray(L.conv_transpose2d(jnp.asarray(x), jnp.asarray(w),
+                                        jnp.asarray(bias), stride=(stride, 1)))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_scnet_matches_torch_oracle():
+    from tests.oracles import torch_scnet
+
+    kw = tiny_kwargs()
+    config = ConfigDict({"model": kw})
+    params = scnet.init(jax.random.PRNGKey(0), config)
+    sd = export_state_dict(params, kw)
+
+    x = np.random.default_rng(0).standard_normal((1, 2, 8000)).astype(np.float32) * 0.1
+    ref = torch_scnet.forward(sd, kw, torch.from_numpy(x)).numpy()
+    got = np.asarray(scnet.apply(params, config, jnp.asarray(x)))
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_scnet_converter_round_trip():
+    kw = tiny_kwargs()
+    config = ConfigDict({"model": kw})
+    params = scnet.init(jax.random.PRNGKey(1), config)
+    sd = export_state_dict(params, kw)
+    back = scnet.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
+    l1, l2 = jax.tree.leaves(params), jax.tree.leaves(back)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
