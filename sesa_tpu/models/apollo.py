@@ -1,0 +1,310 @@
+"""Apollo — band-split roformer/ICB audio restoration model.
+
+Behavioral spec: reference models/look2hear/models/apollo.py:225-324.
+STFT → 80 uniform subbands → per-band power normalization with log-power
+feature → per-band bottleneck conv → ``layer`` × BSNet (band-axis roformer
+with its own interleaved RoPE + inception conv block over time) → per-band
+GLU output heads → RI spectrum → iSTFT.
+
+The 79 equal-width band heads run as one batched einsum; the odd final
+band runs separately (bands here are uniform by construction, unlike the
+roformer band plans).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.models.layers import kaiming_uniform
+from sesa_tpu.ops.attention import sdpa
+from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+_EPS_F32 = float(np.finfo(np.float32).eps)
+
+
+def _dims(config):
+    m = dict(config.model)
+    sr = int(m["sr"])
+    win = int(sr * m["win"] // 1000)
+    stride = win // 2
+    enc_dim = win // 2 + 1
+    feature_dim = int(m["feature_dim"])
+    layer = int(m["layer"])
+    bandwidth = int(win / 160)
+    band_width = [bandwidth] * 79 + [enc_dim - 79 * bandwidth]
+    return sr, win, stride, enc_dim, feature_dim, layer, band_width
+
+
+def _rms_norm_channels(x, weight, eps=1e-5):
+    """Apollo RMSNorm on (..., N, T): rms over the channel axis."""
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-2, keepdims=True) + eps)
+    return norm.astype(x.dtype) * weight[..., :, None]
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def init(rng, config):
+    sr, win, stride, enc_dim, n, layer, band_width = _dims(config)
+    bw = band_width[0]
+    keys = iter(jax.random.split(rng, 64 + 16 * layer))
+
+    def conv1x1(ci, co, m=1):
+        shape = (m, co, ci) if m > 1 else (co, ci)
+        return kaiming_uniform(next(keys), shape, ci)
+
+    def bias(co, ci, m=1):
+        shape = (m, co) if m > 1 else (co,)
+        return kaiming_uniform(next(keys), shape, ci)
+
+    def roformer(nd):
+        return {
+            "input_norm": jnp.ones((nd,)),
+            "qkv_w": conv1x1(nd, nd * 3),
+            "out_w": conv1x1(nd, nd),
+            "mlp_norm": jnp.ones((nd,)),
+            "mlp_in": conv1x1(nd, nd * 8),
+            "mlp_out": conv1x1(nd * 4, nd),
+        }
+
+    def conv_act_norm(nd, kernel=7):
+        return {
+            "dw_w": kaiming_uniform(next(keys), (nd, 1, kernel), kernel),
+            "dw_b": bias(nd, kernel),
+            "norm": jnp.ones((nd,)),
+            "pw1_w": conv1x1(nd, nd * 4),
+            "pw1_b": bias(nd * 4, nd),
+            "pw2_w": conv1x1(nd * 4, nd),
+            "pw2_b": bias(nd, nd * 4),
+        }
+
+    params = {
+        # 79 uniform bands batched + the final odd band
+        "bn_norm": jnp.ones((79, bw * 2 + 1)),
+        "bn_w": conv1x1(bw * 2 + 1, n, m=79),
+        "bn_b": bias(n, bw * 2 + 1, m=79),
+        "bn_norm_last": jnp.ones((band_width[-1] * 2 + 1,)),
+        "bn_w_last": conv1x1(band_width[-1] * 2 + 1, n),
+        "bn_b_last": bias(n, band_width[-1] * 2 + 1),
+        "layers": [
+            {
+                "band_net": roformer(n),
+                "seq_net": [conv_act_norm(n) for _ in range(3)],
+            }
+            for _ in range(layer)
+        ],
+        "out_norm": jnp.ones((79, n)),
+        "out_w": conv1x1(n, bw * 4, m=79),
+        "out_b": bias(bw * 4, n, m=79),
+        "out_norm_last": jnp.ones((n,)),
+        "out_w_last": conv1x1(n, band_width[-1] * 4),
+        "out_b_last": bias(band_width[-1] * 4, n),
+    }
+    return params
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def _apollo_rope(n_dim, seq_len, theta=10000.0):
+    freq = 1.0 / (theta ** (np.arange(0, n_dim, 2)[: n_dim // 2] / n_dim))
+    pos = np.arange(seq_len)[:, None] * freq[None, :]
+    cos = np.repeat(np.cos(pos), 2, axis=-1)
+    sin = np.repeat(np.sin(pos), 2, axis=-1)
+    return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
+
+
+def _rotate_pairs(x):
+    x2 = x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
+    return jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+
+
+def _roformer_apply(p, x, num_head=8, precision=_HIGHEST):
+    """x (B, N, T) band-axis transformer (seq axis = T here)."""
+    b, n, t = x.shape
+    hidden = n // num_head
+    xn = _rms_norm_channels(x, p["input_norm"])
+    qkv = jnp.einsum("bnt,on->bot", xn, p["qkv_w"], precision=precision)
+    qkv = qkv.reshape(b, num_head, hidden * 3, t)
+    qkv = jnp.swapaxes(qkv, -1, -2)  # (B, H, T, 3h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    cos, sin = _apollo_rope(hidden, t)
+    q = q * cos + _rotate_pairs(q) * sin
+    k = k * cos + _rotate_pairs(k) * sin
+
+    out = sdpa(q, k, v, precision=precision)  # (B, H, T, h)
+    out = jnp.swapaxes(out, -1, -2).reshape(b, num_head * hidden, t)
+    out = jnp.einsum("bnt,on->bot", out, p["out_w"], precision=precision) + x
+
+    h = _rms_norm_channels(out, p["mlp_norm"])
+    h = jnp.einsum("bnt,on->bot", h, p["mlp_in"], precision=precision)
+    h = jax.nn.silu(h)
+    gate, z = jnp.split(h, 2, axis=1)
+    h = jax.nn.silu(gate) * z
+    h = jnp.einsum("bnt,on->bot", h, p["mlp_out"], precision=precision)
+    return out + h
+
+
+def _conv_act_norm_apply(p, x, kernel=7, precision=_HIGHEST):
+    """(B, N, T) depthwise conv + RMSNorm + pointwise MLP, residual."""
+    n = x.shape[1]
+    y = jax.lax.conv_general_dilated(
+        x, p["dw_w"], window_strides=(1,), padding=[((kernel - 1) // 2,) * 2],
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=n,
+        precision=precision,
+    ) + p["dw_b"][None, :, None]
+    y = _rms_norm_channels(y, p["norm"])
+    y = jnp.einsum("bnt,on->bot", y, p["pw1_w"], precision=precision) + p["pw1_b"][None, :, None]
+    y = jax.nn.silu(y)
+    y = jnp.einsum("bnt,on->bot", y, p["pw2_w"], precision=precision) + p["pw2_b"][None, :, None]
+    return x + y
+
+
+def apply(params, config, x, precision=None):
+    """(B, ch, T) -> (B, 1, ch, T) restored audio (single 'stem')."""
+    precision = precision or _HIGHEST
+    sr, win, stride, enc_dim, n, layer, band_width = _dims(config)
+    bw = band_width[0]
+    b, ch, nsample = x.shape
+
+    window = hann_window(win, dtype=x.dtype)
+    spec = stft_ri(x.reshape(b * ch, nsample), win, stride, window)  # (B', F, T, 2)
+    t = spec.shape[-2]
+
+    # uniform bands: (B', 79, bw, T, 2); last band separate
+    uni = spec[:, : 79 * bw].reshape(b * ch, 79, bw, t, 2)
+    last = spec[:, 79 * bw :]  # (B', bw_last, T, 2)
+
+    def band_features(s):  # (..., BW, T, 2) -> norm spec + log power
+        power = jnp.sqrt(jnp.sum(s[..., 0] ** 2 + s[..., 1] ** 2, axis=-2) + _EPS_F32)
+        p1 = power[..., None, :]
+        re = s[..., 0] / p1
+        im = s[..., 1] / p1
+        return jnp.concatenate([re, im, jnp.log(p1)], axis=-2)  # (..., 2BW+1, T)
+
+    feat_uni = band_features(uni)  # (B', 79, 2bw+1, T)
+    feat_uni = _rms_norm_channels(feat_uni, params["bn_norm"])
+    feat_uni = jnp.einsum("bmct,moc->bmot", feat_uni, params["bn_w"],
+                          precision=precision) + params["bn_b"][None, :, :, None]
+
+    feat_last = band_features(last)
+    feat_last = _rms_norm_channels(feat_last, params["bn_norm_last"])
+    feat_last = jnp.einsum("bct,oc->bot", feat_last, params["bn_w_last"],
+                           precision=precision) + params["bn_b_last"][None, :, None]
+
+    feat = jnp.concatenate([feat_uni, feat_last[:, None]], axis=1)  # (B', 80, N, T)
+    nband = feat.shape[1]
+
+    for lp in params["layers"]:
+        # band communication: sequence axis = bands, batched over (B', T)
+        z = jnp.transpose(feat, (0, 3, 2, 1)).reshape(-1, n, nband)
+        z = _roformer_apply(lp["band_net"], z, precision=precision)
+        feat = jnp.transpose(z.reshape(b * ch, t, n, nband), (0, 3, 2, 1))
+        # sequence modeling over frames per band
+        z = feat.reshape(b * ch * nband, n, t)
+        for blk in lp["seq_net"]:
+            z = _conv_act_norm_apply(blk, z, precision=precision)
+        feat = z.reshape(b * ch, nband, n, t)
+
+    # output heads: RMSNorm + 1x1 + GLU -> RI per band
+    hu = _rms_norm_channels(feat[:, :79], params["out_norm"])
+    hu = jnp.einsum("bmct,moc->bmot", hu, params["out_w"],
+                    precision=precision) + params["out_b"][None, :, :, None]
+    a, g = jnp.split(hu, 2, axis=2)
+    hu = a * jax.nn.sigmoid(g)  # (B', 79, 2bw, T)
+    hu = hu.reshape(b * ch, 79, 2, bw, t)
+
+    hl = _rms_norm_channels(feat[:, 79], params["out_norm_last"])
+    hl = jnp.einsum("bct,oc->bot", hl, params["out_w_last"],
+                    precision=precision) + params["out_b_last"][None, :, None]
+    a, g = jnp.split(hl, 2, axis=1)
+    hl = (a * jax.nn.sigmoid(g)).reshape(b * ch, 2, band_width[-1], t)
+
+    spec_out = jnp.concatenate(
+        [hu.reshape(b * ch, 79 * bw * 2, t).reshape(b * ch, 79, 2, bw, t)
+         .transpose(0, 2, 1, 3, 4).reshape(b * ch, 2, 79 * bw, t),
+         hl],
+        axis=2,
+    )  # (B', 2, F, T)
+    spec_ri = jnp.stack([spec_out[:, 0], spec_out[:, 1]], axis=-1)  # (B', F, T, 2)
+
+    wav = istft_ri(spec_ri, win, stride, window, length=nsample)
+    return wav.reshape(b, 1, ch, nsample)
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_torch(state_dict, config):
+    """Key scheme (reference apollo.py): BN.{i}.{0,1}, net.{l}.band_net.*,
+    net.{l}.seq_net.blocks.{j}.conv.{0,1,2,4}, output.{i}.{0,1}."""
+    sr, win, stride, enc_dim, n, layer, band_width = _dims(config)
+    sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    def conv_squeeze(key):  # torch conv1d 1x1 weight (O, I, 1) -> (O, I)
+        return take(key)[..., 0]
+
+    params = {
+        "bn_norm": jnp.stack([take(f"BN.{i}.0.weight") for i in range(79)]),
+        "bn_w": jnp.stack([conv_squeeze(f"BN.{i}.1.weight") for i in range(79)]),
+        "bn_b": jnp.stack([take(f"BN.{i}.1.bias") for i in range(79)]),
+        "bn_norm_last": take("BN.79.0.weight"),
+        "bn_w_last": conv_squeeze("BN.79.1.weight"),
+        "bn_b_last": take("BN.79.1.bias"),
+        "out_norm": jnp.stack([take(f"output.{i}.0.weight") for i in range(79)]),
+        "out_w": jnp.stack([conv_squeeze(f"output.{i}.1.weight") for i in range(79)]),
+        "out_b": jnp.stack([take(f"output.{i}.1.bias") for i in range(79)]),
+        "out_norm_last": take("output.79.0.weight"),
+        "out_w_last": conv_squeeze("output.79.1.weight"),
+        "out_b_last": take("output.79.1.bias"),
+    }
+    layers = []
+    for l in range(layer):
+        bn = f"net.{l}.band_net"
+        layers.append(
+            {
+                "band_net": {
+                    "input_norm": take(f"{bn}.input_norm.weight"),
+                    "qkv_w": conv_squeeze(f"{bn}.weight.weight"),
+                    "out_w": conv_squeeze(f"{bn}.output.weight"),
+                    "mlp_norm": take(f"{bn}.MLP.0.weight"),
+                    "mlp_in": conv_squeeze(f"{bn}.MLP.1.weight"),
+                    "mlp_out": conv_squeeze(f"{bn}.MLP_output.weight"),
+                },
+                "seq_net": [
+                    {
+                        "dw_w": take(f"net.{l}.seq_net.blocks.{j}.conv.0.weight"),
+                        "dw_b": take(f"net.{l}.seq_net.blocks.{j}.conv.0.bias"),
+                        "norm": take(f"net.{l}.seq_net.blocks.{j}.conv.1.weight"),
+                        "pw1_w": conv_squeeze(f"net.{l}.seq_net.blocks.{j}.conv.2.weight"),
+                        "pw1_b": take(f"net.{l}.seq_net.blocks.{j}.conv.2.bias"),
+                        "pw2_w": conv_squeeze(f"net.{l}.seq_net.blocks.{j}.conv.4.weight"),
+                        "pw2_b": take(f"net.{l}.seq_net.blocks.{j}.conv.4.bias"),
+                    }
+                    for j in range(3)
+                ],
+            }
+        )
+        # RoPE caches are registered buffers in checkpoints; recomputed here
+        for extra in (f"{bn}.cos_freq", f"{bn}.sin_freq"):
+            if extra in sd:
+                used.add(extra)
+    params["layers"] = layers
+
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
+    return params
