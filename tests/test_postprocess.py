@@ -1,0 +1,110 @@
+"""Ensemble + phase-fixer parity: wave methods vs numpy, spectral methods
+vs the reference's scipy formulation, phase fixer vs a torch oracle."""
+
+import numpy as np
+import pytest
+import torch
+
+from sesa_tpu.postprocess import ensemble_waveforms, phase_fix_arrays
+from sesa_tpu.postprocess.ensemble import ENSEMBLE_METHODS
+
+
+def _waves(n=3, t=44100):
+    rng = np.random.default_rng(0)
+    return [rng.standard_normal((2, t - i * 7)).astype(np.float32) * 0.3 for i in range(n)]
+
+
+def test_avg_wave_weighted():
+    waves = _waves()
+    out = ensemble_waveforms(waves, "avg_wave", weights=[3, 1, 1])
+    tmin = min(w.shape[-1] for w in waves)
+    stack = np.stack([w[..., :tmin] for w in waves])
+    ref = np.average(stack, axis=0, weights=np.array([3, 1, 1.0]) / 5)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("method,npfn", [("median_wave", np.median),
+                                         ("max_wave", np.max), ("min_wave", np.min)])
+def test_wave_methods(method, npfn):
+    waves = _waves()
+    out = ensemble_waveforms(waves, method)
+    tmin = min(w.shape[-1] for w in waves)
+    ref = npfn(np.stack([w[..., :tmin] for w in waves]), axis=0)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["max_fft", "min_fft", "median_fft"])
+def test_spectral_methods_reference_formulation(method):
+    """Re-derive the reference's scipy pipeline inline and compare exactly."""
+    from scipy.signal import istft, stft
+
+    waves = _waves(3, 8192)
+    out = ensemble_waveforms(waves, method)
+
+    tmin = min(w.shape[-1] for w in waves)
+    stack = np.stack([w[..., :tmin] for w in waves])
+    nperseg, noverlap = min(1024, tmin), min(1024, tmin) // 2
+    specs = np.stack([
+        np.stack([stft(stack[i, c], nperseg=nperseg, noverlap=noverlap, window="hann")[2]
+                  for c in range(2)]) for i in range(3)])
+    mag = np.abs(specs)
+    sel = {"max_fft": np.max, "min_fft": np.min, "median_fft": np.median}[method]
+    combined = sel(mag, axis=0) * np.exp(1j * np.angle(specs[0]))
+    ref = np.zeros((2, tmin), dtype=np.float32)
+    for c in range(2):
+        _, xrec = istft(combined[c], nperseg=nperseg, noverlap=noverlap, window="hann")
+        ref[c] = xrec[:tmin]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_spectral_too_short_falls_back_to_avg():
+    waves = [np.ones((2, 100), np.float32), np.zeros((2, 100), np.float32)]
+    out = ensemble_waveforms(waves, "max_fft")
+    np.testing.assert_allclose(out, 0.5 * np.ones((2, 100)), atol=1e-6)
+
+
+def test_invalid_method():
+    with pytest.raises(ValueError, match="Invalid method"):
+        ensemble_waveforms(_waves(), "nope")
+
+
+def test_phase_fixer_matches_torch_oracle():
+    """The phase blend operates on wrapped angles, so bins at ±π flip under
+    STFT rounding differences (inherent to the reference algorithm). Parity
+    of the blend+wrap+resynthesis math is therefore checked on IDENTICAL
+    torch-computed spectra; STFT parity is covered by test_stft.py."""
+    import jax.numpy as jnp
+
+    from sesa_tpu.ops.stft import hann_window, istft_ri
+    from sesa_tpu.postprocess.phase_fixer import blend_spectra
+
+    rng = np.random.default_rng(1)
+    sr, t = 44100, 22050
+    src = rng.standard_normal((2, t)).astype(np.float32) * 0.3
+    tgt = rng.standard_normal((2, t)).astype(np.float32) * 0.3
+
+    n_fft, hop = 2048, 512
+    w = torch.hann_window(n_fft)
+    s = torch.stft(torch.from_numpy(src), n_fft, hop, window=w, return_complex=True,
+                   pad_mode="reflect")
+    tt = torch.stft(torch.from_numpy(tgt), n_fft, hop, window=w, return_complex=True,
+                    pad_mode="reflect")
+
+    s_ri = jnp.asarray(np.stack([s.real.numpy(), s.imag.numpy()], axis=-1))
+    t_ri = jnp.asarray(np.stack([tt.real.numpy(), tt.imag.numpy()], axis=-1))
+    fixed = blend_spectra(s_ri, t_ri, sr, 500, 9000, 0.25, 1.4)
+    got = np.asarray(istft_ri(fixed, n_fft, hop, hann_window(n_fft), length=t))
+
+    freqs = torch.linspace(0, sr // 2, steps=n_fft // 2 + 1)
+    bf = torch.zeros_like(freqs)
+    bf[freqs < 500] = 0.25
+    bf[freqs > 9000] = 0.25 + 1.4
+    m = (freqs >= 500) & (freqs <= 9000)
+    bf[m] = 0.25 + 1.4 * (freqs[m] - 500) / (9000 - 500)
+    outs = []
+    for c in range(2):
+        blended = (1 - bf)[:, None] * torch.angle(tt[c]) + bf[:, None] * torch.angle(s[c])
+        blended = torch.remainder(blended + torch.pi, 2 * torch.pi) - torch.pi
+        outs.append(torch.abs(tt[c]) * torch.exp(1j * blended))
+    ref = torch.istft(torch.stack(outs), n_fft, hop, window=w, length=t).numpy()
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
