@@ -106,6 +106,8 @@ _IGNORED_CONFIG_KEYS = {
 def spec_from_config(model_cfg: dict) -> RoformerSpec:
     """BSRoformer(**config.model) equivalent (reference utils.py:104-106)."""
     cfg = {k: v for k, v in dict(model_cfg).items() if k not in _IGNORED_CONFIG_KEYS}
+    if "use_value_residual_learning" in cfg:  # experimental variant naming
+        cfg["value_residual"] = bool(cfg.pop("use_value_residual_learning"))
     freqs_per_bands = tuple(cfg.pop("freqs_per_bands", DEFAULT_FREQS_PER_BANDS))
     stereo = bool(cfg.get("stereo", False))
     ch = 2 if stereo else 1
@@ -125,9 +127,15 @@ def spec_from_config(model_cfg: dict) -> RoformerSpec:
 def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = False,
                    final_norm: bool = True):
     plan = spec.band_plan()
+    if spec.num_residual_streams not in (1,):
+        raise NotImplementedError(
+            "hyper-connections (num_residual_streams > 1) are not supported; "
+            "no public checkpoint uses them — set num_residual_streams=1"
+        )
     keys = iter(jax.random.split(rng, 8 + 4 * spec.depth + spec.num_stems))
     layers = []
-    for _ in range(spec.depth):
+    for layer_index in range(spec.depth):
+        vr = spec.value_residual and layer_index > 0
         layer = {}
         if spec.linear_transformer_depth > 0:
             layer["linear"] = core.transformer_init(
@@ -135,10 +143,10 @@ def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = Fals
                 spec.dim_head, norm_output=transformer_norm_output, linear_attn=True)
         layer["time"] = core.transformer_init(
             next(keys), spec.dim, spec.time_transformer_depth, spec.heads,
-            spec.dim_head, norm_output=transformer_norm_output)
+            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr)
         layer["freq"] = core.transformer_init(
             next(keys), spec.dim, spec.freq_transformer_depth, spec.heads,
-            spec.dim_head, norm_output=transformer_norm_output)
+            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr)
         layers.append(layer)
 
     params = {
@@ -204,6 +212,7 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
     xb = B.band_split_apply(plan, params["band_split"], net_in, precision=precision)
 
     store = []
+    time_v_res = freq_v_res = None
     for layer in params["layers"]:
         if spec.skip_connection and store:
             xb = xb + sum(store)
@@ -214,12 +223,24 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
             xb = z.reshape(b, tf, nb, spec.dim)
         # time transformer: sequence axis = frames
         z = jnp.transpose(xb, (0, 2, 1, 3))  # (B, NB, Tf, D)
-        z = core.transformer_apply(layer["time"], z, spec.heads, rope=rope_time,
-                                   precision=precision)
+        if spec.value_residual:
+            z, next_tv = core.transformer_apply_vr(
+                layer["time"], z, spec.heads, rope=rope_time,
+                value_residual=time_v_res, precision=precision)
+            time_v_res = time_v_res if time_v_res is not None else next_tv
+        else:
+            z = core.transformer_apply(layer["time"], z, spec.heads,
+                                       rope=rope_time, precision=precision)
         z = jnp.transpose(z, (0, 2, 1, 3))  # (B, Tf, NB, D)
         # freq transformer: sequence axis = bands
-        xb = core.transformer_apply(layer["freq"], z, spec.heads, rope=rope_freq,
-                                    precision=precision)
+        if spec.value_residual:
+            xb, next_fv = core.transformer_apply_vr(
+                layer["freq"], z, spec.heads, rope=rope_freq,
+                value_residual=freq_v_res, precision=precision)
+            freq_v_res = freq_v_res if freq_v_res is not None else next_fv
+        else:
+            xb = core.transformer_apply(layer["freq"], z, spec.heads,
+                                        rope=rope_freq, precision=precision)
         if spec.skip_connection:
             store.append(xb)
 
@@ -298,6 +319,7 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
 
     layers = []
     for d in range(spec.depth):
+        vr = spec.value_residual and d > 0
         j = 0
         layer = {}
         if spec.linear_transformer_depth > 0:
@@ -307,10 +329,10 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
             j += 1
         layer["time"] = core.convert_transformer(
             take, f"layers.{d}.{j}", spec.time_transformer_depth,
-            norm_output=transformer_norm_output)
+            norm_output=transformer_norm_output, value_residual=vr)
         layer["freq"] = core.convert_transformer(
             take, f"layers.{d}.{j + 1}", spec.freq_transformer_depth,
-            norm_output=transformer_norm_output)
+            norm_output=transformer_norm_output, value_residual=vr)
         layers.append(layer)
 
     mask_estimators = []

@@ -23,17 +23,23 @@ from sesa_tpu.models import layers as L
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 
-def _dims(config):
-    """Static dimension plan shared by init/apply/convert."""
+def _dims(config, hartley=False):
+    """Static dimension plan shared by init/apply/convert.
+
+    The Hartley variant (reference mdx23c_tfc_tdf_v3_with_STHT.py:204-211)
+    has real-valued spectra: dim_c = k*ch (no complex factor) and
+    f = dim_f // (k // 2) since the full n_fft bins enter the net.
+    """
     k = config.model.num_subbands
-    dim_c = k * config.audio.num_channels * 2
+    ch = config.audio.num_channels
+    dim_c = k * ch if hartley else k * ch * 2
     n = config.model.num_scales
     scale = tuple(config.model.scale)
     l = config.model.num_blocks_per_scale
     c = config.model.num_channels
     g = config.model.growth
     bn = config.model.bottleneck_factor
-    f = config.audio.dim_f // k
+    f = config.audio.dim_f // (k // 2) if hartley else config.audio.dim_f // k
     return k, dim_c, n, scale, l, c, g, bn, f
 
 
@@ -58,8 +64,8 @@ def _init_norm(has_params, c, extra_bn=False):
     return p
 
 
-def init(rng, config):
-    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+def init(rng, config, hartley=False):
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config, hartley)
     norm_type = config.model.norm
     _, has_norm = L.make_norm2d(norm_type)
     is_bn = norm_type == "BatchNorm"
@@ -178,15 +184,19 @@ def _cws2cac(x, k):
     return x.reshape(b, c // k, k, f, t).reshape(b, c // k, f * k, t)
 
 
-def apply(params, config, x):
-    """(B, ch, T) -> (B, S, ch, T) separated stems (S squeezed upstream if 1)."""
-    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+def apply(params, config, x, transform=None, hartley=False):
+    """(B, ch, T) -> (B, S, ch, T) separated stems.
+
+    ``transform``: optional (analysis, synthesis) override — used by the
+    Hartley variant; defaults to the torch-compatible STFT pair."""
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config, hartley)
     norm_fn, _ = L.make_norm2d(config.model.norm)
     act = L.make_act(config.model.act)
     s_stems = num_target_instruments(config)
     length = x.shape[-1]
 
-    spec = spectrogram(x, config)  # (B, ch*2, dim_f, T)
+    analysis, synthesis = transform or (spectrogram, inverse_spectrogram)
+    spec = analysis(x, config)  # (B, ch*2, dim_f, T) (or (B, ch, n_fft, T) Hartley)
     mix = xx = _cac2cws(spec, k)  # (B, dim_c, f, T)
 
     first_out = xx = L.conv2d(xx, params["first_conv"])
@@ -217,7 +227,7 @@ def apply(params, config, x):
 
     b = xx.shape[0]
     xx = xx.reshape(b, s_stems, dim_c // k, xx.shape[-2], xx.shape[-1])
-    wav = inverse_spectrogram(xx, config, length)  # (B, S, ch, T')
+    wav = synthesis(xx, config, length)  # (B, S, ch, T')
     # torch.istft with center=True returns hop*(frames-1) samples; the input
     # chunk length is recovered because frames = 1 + T//hop.
     if wav.shape[-1] < length:
@@ -229,7 +239,7 @@ def apply(params, config, x):
 # torch checkpoint conversion
 # --------------------------------------------------------------------------
 
-def convert_torch(state_dict, config):
+def convert_torch(state_dict, config, hartley=False):
     """Map a reference TFC_TDF_net state_dict onto this param pytree.
 
     Key scheme (reference models/mdx23c_tfc_tdf_v3.py:100-187): Sequential
@@ -237,7 +247,7 @@ def convert_torch(state_dict, config):
     lin], down/upscale .conv = [norm, act, conv], final_conv = [conv, act,
     conv].
     """
-    k, dim_c, n, scale, l, c, g, bn, f = _dims(config)
+    k, dim_c, n, scale, l, c, g, bn, f = _dims(config, hartley)
     norm_type = config.model.norm
     _, has_norm = L.make_norm2d(norm_type)
     is_bn = norm_type == "BatchNorm"

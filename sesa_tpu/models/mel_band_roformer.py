@@ -49,6 +49,8 @@ _MEL_IGNORED = _IGNORED_CONFIG_KEYS | {"sample_rate", "num_bands"}
 
 def spec_from_config(model_cfg: dict) -> RoformerSpec:
     cfg = {k: v for k, v in dict(model_cfg).items() if k not in _MEL_IGNORED}
+    if "use_value_residual_learning" in cfg:  # experimental variant naming
+        cfg["value_residual"] = bool(cfg.pop("use_value_residual_learning"))
     num_bands = int(dict(model_cfg).get("num_bands", 60))
     sample_rate = int(dict(model_cfg).get("sample_rate", 44100))
     cfg.setdefault("mask_estimator_depth", 1)

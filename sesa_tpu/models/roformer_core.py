@@ -24,16 +24,20 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # init
 # --------------------------------------------------------------------------
 
-def attention_init(rng, dim, heads, dim_head):
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
+def attention_init(rng, dim, heads, dim_head, value_residual=False):
+    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
     dim_inner = heads * dim_head
-    return {
+    p = {
         "norm_gamma": jnp.ones((dim,)),
         "qkv_w": kaiming_uniform(k1, (dim_inner * 3, dim), dim),
         "gates_w": kaiming_uniform(k2, (heads, dim), dim),
         "gates_b": kaiming_uniform(k3, (heads,), dim),
         "out_w": kaiming_uniform(k4, (dim, dim_inner), dim_inner),
     }
+    if value_residual:
+        p["vr_mix_w"] = kaiming_uniform(k5, (heads, dim), dim)
+        p["vr_mix_b"] = kaiming_uniform(k6, (heads,), dim)
+    return p
 
 
 def linear_attention_init(rng, dim, heads, dim_head):
@@ -60,14 +64,15 @@ def ff_init(rng, dim, mult):
 
 
 def transformer_init(rng, dim, depth, heads, dim_head, ff_mult=4,
-                     norm_output=False, linear_attn=False):
+                     norm_output=False, linear_attn=False, value_residual=False):
     keys = jax.random.split(rng, depth * 2 + 1)
     layers = []
     for i in range(depth):
         attn = (
             linear_attention_init(keys[2 * i], dim, heads, dim_head)
             if linear_attn
-            else attention_init(keys[2 * i], dim, heads, dim_head)
+            else attention_init(keys[2 * i], dim, heads, dim_head,
+                                value_residual=value_residual)
         )
         layers.append({"attn": attn, "ff": ff_init(keys[2 * i + 1], dim, ff_mult)})
     params = {"layers": layers}
@@ -80,8 +85,15 @@ def transformer_init(rng, dim, depth, heads, dim_head, ff_mult=4,
 # apply
 # --------------------------------------------------------------------------
 
-def attention_apply(p, x, heads, rope=None, precision=_HIGHEST):
-    """x (..., n, dim) -> (..., n, dim); rope = (cos, sin) tables for n."""
+def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
+                    value_residual=None, return_values=False):
+    """x (..., n, dim) -> (..., n, dim); rope = (cos, sin) tables for n.
+
+    ``value_residual`` implements value-residual learning (reference
+    bs_roformer_experimental.py:111-135): V is lerped toward the first
+    layer's V with a learned per-head sigmoid mix. ``return_values`` also
+    returns the pre-mix V for downstream layers.
+    """
     lead = x.shape[:-2]
     n, dim = x.shape[-2:]
     xn = rms_norm(x, p["norm_gamma"]).reshape(-1, n, dim)
@@ -92,6 +104,14 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST):
     qkv = qkv.reshape(b, n, 3, heads, dim_head)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, b, h, n, dh)
     q, k, v = qkv[0], qkv[1], qkv[2]
+
+    orig_v = v
+    if "vr_mix_w" in p:
+        assert value_residual is not None
+        mix = jnp.einsum("bnd,hd->bnh", xn, p["vr_mix_w"], precision=precision)
+        mix = mix + p["vr_mix_b"]
+        mix = jax.nn.sigmoid(jnp.transpose(mix, (0, 2, 1)))[..., None]  # (b,h,n,1)
+        v = v + (value_residual.reshape(v.shape) - v) * mix  # lerp
 
     if rope is not None:
         cos, sin = rope
@@ -106,7 +126,10 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST):
 
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, heads * dim_head)
     out = jnp.einsum("bno,do->bnd", out, p["out_w"], precision=precision)
-    return out.reshape(lead + (n, dim))
+    out = out.reshape(lead + (n, dim))
+    if return_values:
+        return out, orig_v
+    return out
 
 
 def linear_attention_apply(p, x, heads, scale=8.0, precision=_HIGHEST):
@@ -153,11 +176,45 @@ def transformer_apply(params, x, heads, rope=None, linear_attn=False,
     return x
 
 
+def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
+                         precision=_HIGHEST):
+    """Transformer with value-residual threading (reference
+    bs_roformer_experimental.py:239-258). Returns (x, first_layer_values).
+
+    With ``value_residual`` given, the reference's new-style forward applies
+    NO explicit residual adds around attn/ff (hyper connections own the
+    residual stream); with None it falls back to the standard residual form.
+    """
+    first_values = None
+    if value_residual is not None:
+        for layer in params["layers"]:
+            x, next_values = attention_apply(layer["attn"], x, heads, rope=rope,
+                                             precision=precision,
+                                             value_residual=value_residual,
+                                             return_values=True)
+            if first_values is None:
+                first_values = next_values
+            x = ff_apply(layer["ff"], x, precision=precision)
+    else:
+        for layer in params["layers"]:
+            attn_out, next_values = attention_apply(layer["attn"], x, heads,
+                                                    rope=rope, precision=precision,
+                                                    return_values=True)
+            if first_values is None:
+                first_values = next_values
+            x = attn_out + x
+            x = ff_apply(layer["ff"], x, precision=precision) + x
+    if "norm_gamma" in params:
+        x = rms_norm(x, params["norm_gamma"])
+    return x, first_values
+
+
 # --------------------------------------------------------------------------
 # torch state-dict conversion
 # --------------------------------------------------------------------------
 
-def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=False):
+def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=False,
+                        value_residual=False):
     """Convert one reference Transformer given a ``take(key)`` accessor."""
     layers = []
     for i in range(depth):
@@ -178,6 +235,9 @@ def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=Fals
                 "gates_b": take(f"{a}.to_gates.bias"),
                 "out_w": take(f"{a}.to_out.0.weight"),
             }
+            if value_residual:
+                attn["vr_mix_w"] = take(f"{a}.to_value_residual_mix.weight")
+                attn["vr_mix_b"] = take(f"{a}.to_value_residual_mix.bias")
         ff = {
             "norm_gamma": take(f"{f}.net.0.gamma"),
             "lin1_w": take(f"{f}.net.1.weight"),

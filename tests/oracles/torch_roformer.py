@@ -26,18 +26,47 @@ def rope_rotate(x, freqs):
     return x * cos + rot * sin
 
 
-def _attention(sd, p, x, heads, freqs=None):
+def _attention(sd, p, x, heads, freqs=None, value_residual=None,
+               return_values=False):
     xn = rms_norm(x, sd[f"{p}.norm.gamma"])
     qkv = F.linear(xn, sd[f"{p}.to_qkv.weight"])
     b, n, _ = qkv.shape
     q, k, v = qkv.reshape(b, n, 3, heads, -1).permute(2, 0, 3, 1, 4)
+    orig_v = v
+    if f"{p}.to_value_residual_mix.weight" in sd:
+        mix = F.linear(xn, sd[f"{p}.to_value_residual_mix.weight"],
+                       sd[f"{p}.to_value_residual_mix.bias"])
+        mix = mix.transpose(1, 2).unsqueeze(-1).sigmoid()
+        v = v.lerp(value_residual, mix)
     if freqs is not None:
         q, k = rope_rotate(q, freqs), rope_rotate(k, freqs)
     out = F.scaled_dot_product_attention(q, k, v)
     gates = F.linear(xn, sd[f"{p}.to_gates.weight"], sd[f"{p}.to_gates.bias"])
     out = out * gates.transpose(1, 2).unsqueeze(-1).sigmoid()
     out = out.transpose(1, 2).reshape(b, n, -1)
-    return F.linear(out, sd[f"{p}.to_out.0.weight"])
+    out = F.linear(out, sd[f"{p}.to_out.0.weight"])
+    if return_values:
+        return out, orig_v
+    return out
+
+
+def _transformer_vr(sd, prefix, x, depth, heads, freqs, value_residual):
+    """Experimental-variant transformer (bs_roformer_experimental.py:239-258)."""
+    first_values = None
+    if value_residual is not None:
+        for i in range(depth):
+            x, nv = _attention(sd, f"{prefix}.layers.{i}.0", x, heads, freqs,
+                               value_residual=value_residual, return_values=True)
+            first_values = first_values if first_values is not None else nv
+            x = _ff(sd, f"{prefix}.layers.{i}.1", x)
+    else:
+        for i in range(depth):
+            attn_out, nv = _attention(sd, f"{prefix}.layers.{i}.0", x, heads,
+                                      freqs, return_values=True)
+            first_values = first_values if first_values is not None else nv
+            x = attn_out + x
+            x = _ff(sd, f"{prefix}.layers.{i}.1", x) + x
+    return x, first_values
 
 
 def _linear_attention(sd, p, x, heads):
@@ -129,8 +158,10 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
 
     tfr = sd["time_rotary_embed.freqs"]
     ffr = sd["freq_rotary_embed.freqs"]
+    value_residual = cfg.get("use_value_residual_learning", False)
 
     store = []
+    time_v = freq_v = None
     for d in range(depth):
         j = 0
         if skip_connection and store:
@@ -142,12 +173,22 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
             z = zz.reshape(b, tf, nb, dim)
             j += 1
         zz = z.permute(0, 2, 1, 3).reshape(b * nb, tf, dim)
-        zz = _transformer(sd, f"layers.{d}.{j}", zz, t_depth, heads, tfr,
-                          norm_output=norm_output)
+        if value_residual:
+            zz, ntv = _transformer_vr(sd, f"layers.{d}.{j}", zz, t_depth, heads,
+                                      tfr, time_v)
+            time_v = time_v if time_v is not None else ntv
+        else:
+            zz = _transformer(sd, f"layers.{d}.{j}", zz, t_depth, heads, tfr,
+                              norm_output=norm_output)
         z = zz.reshape(b, nb, tf, dim).permute(0, 2, 1, 3)
         zz = z.reshape(b * tf, nb, dim)
-        zz = _transformer(sd, f"layers.{d}.{j + 1}", zz, f_depth, heads, ffr,
-                          norm_output=norm_output)
+        if value_residual:
+            zz, nfv = _transformer_vr(sd, f"layers.{d}.{j + 1}", zz, f_depth,
+                                      heads, ffr, freq_v)
+            freq_v = freq_v if freq_v is not None else nfv
+        else:
+            zz = _transformer(sd, f"layers.{d}.{j + 1}", zz, f_depth, heads, ffr,
+                              norm_output=norm_output)
         z = zz.reshape(b, tf, nb, dim)
         if skip_connection:
             store.append(z)

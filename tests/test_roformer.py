@@ -89,6 +89,9 @@ def export_state_dict(params, spec, transformer_norm_output, final_norm):
                 sd[f"{ap}.to_gates.weight"] = _t(a["gates_w"])
                 sd[f"{ap}.to_gates.bias"] = _t(a["gates_b"])
                 sd[f"{ap}.to_out.0.weight"] = _t(a["out_w"])
+                if "vr_mix_w" in a:
+                    sd[f"{ap}.to_value_residual_mix.weight"] = _t(a["vr_mix_w"])
+                    sd[f"{ap}.to_value_residual_mix.bias"] = _t(a["vr_mix_b"])
             fp = f"{prefix}.layers.{i}.1"
             sd[f"{fp}.net.0.gamma"] = _t(f["norm_gamma"])
             sd[f"{fp}.net.1.weight"] = _t(f["lin1_w"])
@@ -186,6 +189,32 @@ def test_mel_band_roformer_matches_torch_oracle():
     got = np.asarray(mel_band_roformer.apply(params, config, jnp.asarray(x)))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+
+def test_bs_roformer_experimental_value_residual():
+    """Value-residual variant vs oracle (reference bs_roformer_experimental.py)."""
+    from sesa_tpu.models import bs_roformer_experimental as exp
+
+    mcfg = bs_model_cfg(depth=3, use_value_residual_learning=True)
+    config = ConfigDict({"model": mcfg})
+    spec = bs_roformer.spec_from_config(mcfg)
+    assert spec.value_residual
+    params = exp.init(jax.random.PRNGKey(5), config)
+    # depth>0 layers carry the learned mix, depth 0 does not
+    assert "vr_mix_w" not in params["layers"][0]["time"]["layers"][0]["attn"]
+    assert "vr_mix_w" in params["layers"][1]["time"]["layers"][0]["attn"]
+
+    sd = export_state_dict(params, spec, transformer_norm_output=False, final_norm=True)
+    x = np.random.default_rng(7).standard_normal((1, 2, 1280)).astype(np.float32) * 0.1
+    widths = [2 * f * 2 for f in mcfg["freqs_per_bands"]]
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x), band_widths=widths,
+                                 variant="bs").numpy()
+    got = np.asarray(exp.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+    back = exp.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
 def test_bs_converter_round_trip():
