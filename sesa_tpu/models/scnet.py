@@ -28,7 +28,7 @@ from sesa_tpu.ops.fft import irdft_ortho, rdft_ortho
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 
-def _model_kwargs(config):
+def _model_kwargs(config, variant="lstm"):
     kw = dict(
         sources=["drums", "bass", "other", "vocals"],
         audio_channels=2,
@@ -46,8 +46,23 @@ def _model_kwargs(config):
         num_dplayer=6,
         expand=1,
     )
+    if variant == "tran":
+        kw.update(tran_rotary_embedding_dim=64, tran_depth=1, tran_heads=8,
+                  tran_dim_head=64, tran_attn_dropout=0.0, tran_ff_dropout=0.0,
+                  tran_flash_attn=False)
     kw.update({k: v for k, v in dict(config.model).items() if k in kw})
+    kw["sources"] = list(kw["sources"])
+    kw["dims"] = list(kw["dims"])
     return kw
+
+
+def _window(kw, variant):
+    """scnet/scnet_tran pass NO window to torch.stft (boxcar); scnet_masked
+    uses a periodic hann of length nfft (reference scnet.py:338,
+    scnet_masked.py:293)."""
+    if variant == "masked":
+        return hann_window(kw["nfft"])
+    return jnp.ones((kw["win_size"],), dtype=jnp.float32)
 
 
 def _band_splits(fr: int, band_sr) -> list:
@@ -60,8 +75,8 @@ def _band_splits(fr: int, band_sr) -> list:
 # init
 # --------------------------------------------------------------------------
 
-def init(rng, config):
-    kw = _model_kwargs(config)
+def init(rng, config, variant="lstm"):
+    kw = _model_kwargs(config, variant)
     dims = kw["dims"]
     keys = iter(jax.random.split(rng, 4096))
 
@@ -145,22 +160,51 @@ def init(rng, config):
     for i in range(kw["num_dplayer"]):
         d = c * (2 if i % 2 == 1 else 1)
         h = d * kw["expand"]
-        separation.append(
-            {
-                "freq": {
-                    "norm": norm_w(d),
-                    "lstm": {"fwd": lstm_dir(d, h), "bwd": lstm_dir(d, h)},
-                    "linear": lin_w(2 * h, d),
-                },
-                "time": {
-                    "norm": norm_w(d),
-                    "lstm": {"fwd": lstm_dir(d, h), "bwd": lstm_dir(d, h)},
-                    "linear": lin_w(2 * h, d),
-                },
-            }
-        )
+        if variant == "tran":
+            from sesa_tpu.models import roformer_core as core
 
-    return {"encoder": encoder, "separation": separation, "decoder": decoder}
+            separation.append(
+                {
+                    "freq_norm": norm_w(d),
+                    "time_norm": norm_w(d),
+                    "freq_tran": core.transformer_init(
+                        next(keys), d, kw["tran_depth"], kw["tran_heads"],
+                        kw["tran_dim_head"], norm_output=True),
+                    "time_tran": core.transformer_init(
+                        next(keys), d, kw["tran_depth"], kw["tran_heads"],
+                        kw["tran_dim_head"], norm_output=True),
+                }
+            )
+        else:
+            separation.append(
+                {
+                    "freq": {
+                        "norm": norm_w(d),
+                        "lstm": {"fwd": lstm_dir(d, h), "bwd": lstm_dir(d, h)},
+                        "linear": lin_w(2 * h, d),
+                    },
+                    "time": {
+                        "norm": norm_w(d),
+                        "lstm": {"fwd": lstm_dir(d, h), "bwd": lstm_dir(d, h)},
+                        "linear": lin_w(2 * h, d),
+                    },
+                }
+            )
+
+    params = {"encoder": encoder, "separation": separation, "decoder": decoder}
+    if variant == "tran":
+        from sesa_tpu.ops.rope import default_freqs
+
+        params["rope_time_freqs"] = jnp.asarray(default_freqs(kw["tran_rotary_embedding_dim"]))
+        params["rope_freq_freqs"] = jnp.asarray(default_freqs(kw["tran_rotary_embedding_dim"]))
+        # declared but unused in the reference forward (scnet_tran.py:586)
+        params["first_conv"] = conv_w(dims[0], dims[0], 1, 1)["weight"]
+    if variant == "masked":
+        params["pos_embed_f"] = 0.02 * jax.random.truncated_normal(
+            next(keys), -2.0, 2.0, (1, dims[0], kw["nfft"] // 2 + 1, 1))
+        params["mask_conv1"] = conv_w(dims[0] * len(kw["sources"]), 64, 3, 3)
+        params["mask_conv2"] = conv_w(64, dims[0] * len(kw["sources"]), 1, 1)
+    return params
 
 
 # --------------------------------------------------------------------------
@@ -242,6 +286,26 @@ def _apply_dual_path(p, x):
     return y + orig
 
 
+def _apply_dual_path_tran(p, x, rope_time, rope_freq, kw):
+    """scnet_tran's DualPathTran (reference scnet_tran.py:196-247)."""
+    from sesa_tpu.models import roformer_core as core
+
+    b, c, fr, t = x.shape
+    heads = kw["tran_heads"]
+    orig = x
+    y = L.group_norm(x, p["freq_norm"], 1)
+    y = jnp.transpose(y, (0, 3, 2, 1)).reshape(b * t, fr, c)
+    y = core.transformer_apply(p["freq_tran"], y, heads, rope=rope_freq)
+    y = jnp.transpose(y.reshape(b, t, fr, c), (0, 3, 2, 1))
+    x = y + orig
+    orig = x
+    y = L.group_norm(x, p["time_norm"], 1)
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b * fr, t, c)
+    y = core.transformer_apply(p["time_tran"], y, heads, rope=rope_time)
+    y = jnp.transpose(y.reshape(b, fr, t, c), (0, 3, 1, 2))
+    return y + orig
+
+
 def _feature_conversion(x, inverse):
     """rFFT interleave along frames, channels <-> complex (separation.py:6-34)."""
     if inverse:
@@ -252,9 +316,9 @@ def _feature_conversion(x, inverse):
     return jnp.concatenate([spec[..., 0], spec[..., 1]], axis=1)
 
 
-def apply(params, config, x):
+def apply(params, config, x, variant="lstm"):
     """(B, ch, T) -> (B, sources, ch, T)."""
-    kw = _model_kwargs(config)
+    kw = _model_kwargs(config, variant)
     b, ch, length = x.shape
     hop = kw["hop_size"]
 
@@ -264,15 +328,26 @@ def apply(params, config, x):
     x = jnp.pad(x, ((0, 0), (0, 0), (0, padding)))
     lpad = x.shape[-1]
 
-    window = hann_window(kw["win_size"], dtype=x.dtype)
+    window = _window(kw, variant).astype(x.dtype)
     spec = stft_ri(x.reshape(-1, lpad), kw["nfft"], hop, window,
-                   win_length=kw["win_size"], normalized=kw["normalized"])
+                   win_length=window.shape[0], normalized=kw["normalized"])
     # (B*ch, F, T, 2) -> (B, ch*2, F, T) with (ch, c) channel order... the
     # reference packs (B*ch, 2, F, T) then reshapes to (B, 2*ch, F, T): the
     # resulting channel order is (ch major, complex minor)
     bc, fr, t, _ = spec.shape
     spec = jnp.transpose(spec, (0, 3, 1, 2))  # (B*ch, 2, F, T)
     z = spec.reshape(b, ch * 2, fr, t)
+    mixture = z
+
+    if variant == "masked":
+        z = z + params["pos_embed_f"][:, :, :fr, :]
+
+    rope_time = rope_freq = None
+    if variant == "tran":
+        from sesa_tpu.ops.rope import rope_tables
+
+        rope_time = rope_tables(params["rope_time_freqs"], t)
+        rope_freq = None  # band count varies per layer input; computed below
 
     skips, lens, olens = [], [], []
     for blk in params["encoder"]:
@@ -284,7 +359,15 @@ def apply(params, config, x):
     # dual-path separation with alternating rfft/irfft feature interleave:
     # even layers rfft frames (channels double), odd layers irfft back
     for i, layer in enumerate(params["separation"]):
-        z = _apply_dual_path(layer, z)
+        if variant == "tran":
+            from sesa_tpu.ops.rope import rope_tables
+
+            cur_t = z.shape[-1]
+            rt = rope_tables(params["rope_time_freqs"], cur_t)
+            rf = rope_tables(params["rope_freq_freqs"], z.shape[-2])
+            z = _apply_dual_path_tran(layer, z, rt, rf, kw)
+        else:
+            z = _apply_dual_path(layer, z)
         z = _feature_conversion(z, inverse=(i % 2 == 1))
 
     for blk in params["decoder"]:
@@ -316,10 +399,28 @@ def apply(params, config, x):
 
     n = kw["dims"][0]
     n_sources = len(kw["sources"])
-    z = z.reshape(b, n, -1, fr, t)  # reference scnet.py:365
-    z = z.reshape(-1, 2, fr, t)
-    z = jnp.transpose(z, (0, 2, 3, 1))  # (.., F, T, 2)
-    wav = istft_ri(z, kw["nfft"], hop, window, win_length=kw["win_size"],
+
+    if variant == "masked":
+        # predict a complex mask and apply it to the tiled mixture
+        # (reference scnet_masked.py:333-415)
+        mask = L.conv2d(z, params["mask_conv1"]["weight"],
+                        params["mask_conv1"]["bias"], padding=(1, 1))
+        mask = jax.nn.gelu(mask, approximate=False)
+        mask = L.conv2d(mask, params["mask_conv2"]["weight"],
+                        params["mask_conv2"]["bias"])
+        mask = jnp.tanh(mask)
+        mix_tiled = jnp.tile(mixture, (1, n_sources, 1, 1))
+        mr = mix_tiled.reshape(b, n, -1, fr, t).reshape(-1, 2, fr, t)
+        mk = mask.reshape(b, n, -1, fr, t).reshape(-1, 2, fr, t)
+        re = mr[:, 0] * mk[:, 0] - mr[:, 1] * mk[:, 1]
+        im = mr[:, 0] * mk[:, 1] + mr[:, 1] * mk[:, 0]
+        z = jnp.stack([re, im], axis=-1)  # (.., F, T, 2)
+    else:
+        z = z.reshape(b, n, -1, fr, t)  # reference scnet.py:365
+        z = z.reshape(-1, 2, fr, t)
+        z = jnp.transpose(z, (0, 2, 3, 1))  # (.., F, T, 2)
+
+    wav = istft_ri(z, kw["nfft"], hop, window, win_length=window.shape[0],
                    normalized=kw["normalized"])
     wav = wav.reshape(b, n_sources, ch, -1)
     return wav[..., : wav.shape[-1] - padding]
@@ -329,16 +430,18 @@ def apply(params, config, x):
 # torch checkpoint conversion
 # --------------------------------------------------------------------------
 
-def convert_torch(state_dict, config):
+def convert_torch(state_dict, config, variant="lstm"):
     """Map a reference SCNet state_dict onto this param pytree.
 
     Key scheme (reference models/scnet/scnet.py + separation.py):
     encoder.{i}.SDlayer.convs.{b}, conv_modules.{b}.layers.{d}.{0,1,3,4,6},
     globalconv; separation_net.dp_modules.{i}.{norm,lstm,linear}_layers.{0,1}
     (LSTM with _reverse direction suffixes); decoder.{i}.0.conv (fusion) and
-    decoder.{i}.1.convtrs.{b} (sparse upsample).
+    decoder.{i}.1.convtrs.{b} (sparse upsample). Variants add:
+    tran — dp_modules.{i}.{norm_layers,{time,freq}_layer} transformers and an
+    unused first_conv; masked — pos_embed_f and mask_layer convs.
     """
-    kw = _model_kwargs(config)
+    kw = _model_kwargs(config, variant)
     dims = kw["dims"]
     sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
     used = set()
@@ -390,17 +493,29 @@ def convert_torch(state_dict, config):
     separation = []
     for i in range(kw["num_dplayer"]):
         p = f"separation_net.dp_modules.{i}"
-        layer = {}
-        for j, name in enumerate(("freq", "time")):
-            layer[name] = {
-                "norm": wb(f"{p}.norm_layers.{j}"),
-                "lstm": {
-                    "fwd": lstm_params(f"{p}.lstm_layers.{j}", False),
-                    "bwd": lstm_params(f"{p}.lstm_layers.{j}", True),
-                },
-                "linear": wb(f"{p}.linear_layers.{j}"),
-            }
-        separation.append(layer)
+        if variant == "tran":
+            from sesa_tpu.models import roformer_core as core
+
+            separation.append({
+                "freq_norm": wb(f"{p}.norm_layers.0"),
+                "time_norm": wb(f"{p}.norm_layers.1"),
+                "freq_tran": core.convert_transformer(
+                    take, f"{p}.freq_layer", kw["tran_depth"], norm_output=True),
+                "time_tran": core.convert_transformer(
+                    take, f"{p}.time_layer", kw["tran_depth"], norm_output=True),
+            })
+        else:
+            layer = {}
+            for j, name in enumerate(("freq", "time")):
+                layer[name] = {
+                    "norm": wb(f"{p}.norm_layers.{j}"),
+                    "lstm": {
+                        "fwd": lstm_params(f"{p}.lstm_layers.{j}", False),
+                        "bwd": lstm_params(f"{p}.lstm_layers.{j}", True),
+                    },
+                    "linear": wb(f"{p}.linear_layers.{j}"),
+                }
+            separation.append(layer)
 
     decoder = []
     for i in range(len(dims) - 1):
@@ -411,7 +526,24 @@ def convert_torch(state_dict, config):
             }
         )
 
+    params = {"encoder": encoder, "separation": separation, "decoder": decoder}
+    if variant == "tran":
+        from sesa_tpu.ops.rope import default_freqs
+
+        params["first_conv"] = take("first_conv.weight")
+        d_rope = kw["tran_rotary_embedding_dim"]
+        params["rope_time_freqs"] = (take("separation_net.time_rotary_embed.freqs")
+                                     if "separation_net.time_rotary_embed.freqs" in sd
+                                     else jnp.asarray(default_freqs(d_rope)))
+        params["rope_freq_freqs"] = (take("separation_net.freq_rotary_embed.freqs")
+                                     if "separation_net.freq_rotary_embed.freqs" in sd
+                                     else jnp.asarray(default_freqs(d_rope)))
+    if variant == "masked":
+        params["pos_embed_f"] = take("pos_embed_f")
+        params["mask_conv1"] = wb("mask_layer.0")
+        params["mask_conv2"] = wb("mask_layer.2")
+
     unused = set(sd) - used
     if unused:
         raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
-    return {"encoder": encoder, "separation": separation, "decoder": decoder}
+    return params

@@ -41,5 +41,15 @@ def rotate_half_interleaved(x: jax.Array) -> jax.Array:
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate (..., seq, dim) by position along the second-to-last axis."""
-    return x * cos + rotate_half_interleaved(x) * sin
+    """Rotate (..., seq, dim) by position along the second-to-last axis.
+
+    When the tables are narrower than the head dim (partial rotary, e.g.
+    scnet_tran with rotary_embedding_dim < dim_head), only the leading dims
+    rotate — matching rotary_embedding_torch's behavior.
+    """
+    w = cos.shape[-1]
+    if w == x.shape[-1]:
+        return x * cos + rotate_half_interleaved(x) * sin
+    head, rest = x[..., :w], x[..., w:]
+    head = head * cos + rotate_half_interleaved(head) * sin
+    return jnp.concatenate([head, rest], axis=-1)

@@ -84,9 +84,9 @@ def forward(sd, kw, x):
     x = F.pad(x, (0, padding))
     lpad = x.shape[-1]
 
-    w = torch.hann_window(kw["win_size"])
+    # the reference passes NO window to torch.stft (boxcar) — scnet.py:338
     z = torch.stft(x.reshape(-1, lpad), kw["nfft"], hop, win_length=kw["win_size"],
-                   window=w, center=True, normalized=kw["normalized"],
+                   center=True, normalized=kw["normalized"],
                    return_complex=True)
     z = torch.view_as_real(z)
     z = z.permute(0, 3, 1, 2).reshape(z.shape[0] // ch, z.shape[3] * ch,
@@ -158,7 +158,7 @@ def forward(sd, kw, x):
     n = dims[0]
     z = z.view(bb, n, -1, fr, t).reshape(-1, 2, fr, t).permute(0, 2, 3, 1)
     z = torch.view_as_complex(z.contiguous())
-    wav = torch.istft(z, kw["nfft"], hop, win_length=kw["win_size"], window=w,
+    wav = torch.istft(z, kw["nfft"], hop, win_length=kw["win_size"],
                       center=True, normalized=kw["normalized"])
     wav = wav.reshape(bb, len(kw["sources"]), ch, -1)
     return wav[:, :, :, :-padding]

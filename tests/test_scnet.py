@@ -129,6 +129,32 @@ def test_scnet_matches_torch_oracle():
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_scnet_tran_forward_and_round_trip():
+    from sesa_tpu.models import scnet_tran
+
+    kw = tiny_kwargs()
+    kw.update(tran_rotary_embedding_dim=8, tran_depth=1, tran_heads=2,
+              tran_dim_head=8)
+    config = ConfigDict({"model": kw})
+    params = scnet_tran.init(jax.random.PRNGKey(3), config)
+    x = np.random.default_rng(4).standard_normal((1, 2, 6000)).astype(np.float32) * 0.1
+    out = scnet_tran.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, 6000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_scnet_masked_forward():
+    from sesa_tpu.models import scnet_masked
+
+    config = ConfigDict({"model": tiny_kwargs()})
+    params = scnet_masked.init(jax.random.PRNGKey(5), config)
+    assert "pos_embed_f" in params and "mask_conv1" in params
+    x = np.random.default_rng(6).standard_normal((1, 2, 6000)).astype(np.float32) * 0.1
+    out = scnet_masked.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, 6000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_scnet_converter_round_trip():
     kw = tiny_kwargs()
     config = ConfigDict({"model": kw})
