@@ -37,10 +37,14 @@ def denormalize_audio(audio: np.ndarray, norm: Dict[str, float]) -> np.ndarray:
 
 
 def prefer_target_instrument(config) -> List[str]:
-    """reference utils.py:480-499."""
-    if getattr(config.training, "target_instrument", None):
-        return [config.training.target_instrument]
-    return list(config.training.instruments)
+    """reference utils.py:480-499 (tolerant of configs without training)."""
+    cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+    training = cfg.get("training", {}) or {}
+    if training.get("target_instrument"):
+        return [training["target_instrument"]]
+    if training.get("instruments"):
+        return list(training["instruments"])
+    return ["restored"]  # restoration models (apollo)
 
 
 @dataclasses.dataclass
@@ -62,6 +66,7 @@ class InferenceSession:
         chunk_size: Optional[int] = None,
         num_overlap: Optional[int] = None,
         batch_size: Optional[int] = None,
+        num_channels: Optional[int] = None,
         compute_dtype=jnp.bfloat16,
         mesh: Optional[jax.sharding.Mesh] = None,
         seed: int = 0,
@@ -74,19 +79,29 @@ class InferenceSession:
         else:
             params = model.init(jax.random.PRNGKey(seed), config)
 
+        cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+        audio_cfg = cfg.get("audio", {}) or {}
+        training_cfg = cfg.get("training", {}) or {}
+        inference_cfg = cfg.get("inference", {}) or {}
+
         demucs_mode = model_type == "htdemucs"
         if demucs_mode:
-            chunk = int(config.training.samplerate * config.training.segment)
-            stems = len(config.training.instruments)
+            chunk = int(training_cfg["samplerate"] * training_cfg["segment"])
+            stems = len(training_cfg["instruments"])
         else:
-            chunk = int(chunk_size or config.audio.chunk_size)
-            stems = len(prefer_target_instrument(config))
+            chunk = int(chunk_size or audio_cfg.get("chunk_size") or 352800)
+            if training_cfg.get("target_instrument"):
+                stems = 1
+            elif training_cfg.get("instruments"):
+                stems = len(training_cfg["instruments"])
+            else:
+                stems = 1  # restoration models (apollo) emit one stem
         spec = DemixSpec(
             chunk_size=chunk,
-            num_overlap=int(num_overlap or config.inference.num_overlap),
-            batch_size=int(batch_size or getattr(config.inference, "batch_size", 4)),
+            num_overlap=int(num_overlap or inference_cfg.get("num_overlap", 2)),
+            batch_size=int(batch_size or inference_cfg.get("batch_size", 4)),
             num_stems=stems,
-            num_channels=int(getattr(config.audio, "num_channels", 2)),
+            num_channels=int(num_channels or audio_cfg.get("num_channels", 2)),
             demucs_mode=demucs_mode,
         )
         return cls(model_type, config, params, spec, compute_dtype, mesh)
@@ -101,7 +116,11 @@ class InferenceSession:
 
     @property
     def sample_rate(self) -> int:
-        return int(getattr(self.config.audio, "sample_rate", 44100))
+        cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
+        sr = (cfg.get("audio", {}) or {}).get("sample_rate")
+        if sr is None:
+            sr = (cfg.get("model", {}) or {}).get("sr", 44100)  # apollo configs
+        return int(sr)
 
     def _model_apply(self):
         model = get_model(self.model_type)
@@ -139,8 +158,9 @@ class InferenceSession:
         if mix.shape[0] == 1 and self.spec.num_channels == 2:
             mix = np.repeat(mix, 2, axis=0)
 
+        cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
         norm = None
-        if bool(getattr(self.config.inference, "normalize", False)):
+        if bool((cfg.get("inference", {}) or {}).get("normalize", False)):
             mix, norm = normalize_audio(mix)
 
         apply_fn = self._model_apply()
