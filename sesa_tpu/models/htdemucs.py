@@ -1,0 +1,678 @@
+"""HTDemucs — hybrid transformer Demucs (time + spectrogram dual branch).
+
+Behavioral spec: reference models/demucs4ht.py:28-713 (top-level forward,
+STFT conventions, normalization, CaC masking, branch merge logic are all
+in-repo); the layer modules (HEncLayer/HDecLayer/DConv/LayerScale/
+ScaledEmbedding/CrossTransformerEncoder) follow the demucs-v4 architecture
+those checkpoints were trained with. Only ``cac=True`` output (complex as
+channels) is supported — every published htdemucs checkpoint uses it;
+Wiener-filter output mode raises.
+
+Pipeline: reflect-padded STFT (hop = nfft/4, trimmed so frames align with
+the time branch strides) → CaC channels, per-sample normalization → four
+strided freq-encoder layers (with DConv residual branches and a scaled
+frequency embedding after layer 0) in parallel with four time-encoder
+layers → 5-layer cross-domain transformer (sinusoidal 2D/1D embeddings,
+pre-norm layers with LayerScale, alternating self/cross attention) →
+mirrored decoders with skip connections → spectral output re-scaled and
+iSTFT'd, summed with the time-branch output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesa_tpu.models import layers as L
+from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _kwargs(config):
+    """HTDemucs(**extra, **config.htdemucs) (reference demucs4ht.py:696-713)."""
+    cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+    assert cfg.get("model", "htdemucs") == "htdemucs", (
+        "only the htdemucs variant is implemented (demucs/hdemucs are legacy)")
+    kw = dict(
+        channels=48, growth=2, nfft=4096, wiener_iters=0, cac=True, depth=4,
+        rewrite=True, multi_freqs=None, multi_freqs_depth=3, freq_emb=0.2,
+        emb_scale=10, emb_smooth=True, kernel_size=8, time_stride=2, stride=4,
+        context=1, context_enc=0, norm_starts=4, norm_groups=4, dconv_mode=1,
+        dconv_depth=2, dconv_comp=8, dconv_init=1e-3, bottom_channels=0,
+        t_layers=5, t_hidden_scale=4.0, t_heads=8, t_max_period=10000.0,
+        t_weight_pos_embed=1.0, t_cross_first=False, num_subbands=1,
+    )
+    kw.update({k: v for k, v in (cfg.get("htdemucs", {}) or {}).items() if k in kw})
+    training = cfg.get("training", {}) or {}
+    kw["sources"] = list(training.get("instruments", ["drums", "bass", "other", "vocals"]))
+    kw["audio_channels"] = int(training.get("channels", 2))
+    kw["samplerate"] = int(training.get("samplerate", 44100))
+    kw["segment"] = training.get("segment", 10)
+    assert kw["cac"], "only cac=True (complex-as-channels) output is supported"
+    assert not kw["multi_freqs"], "MultiWrap frequency splitting is not supported"
+    assert kw["num_subbands"] == 1, "num_subbands > 1 is not supported"
+    return kw
+
+
+def _layer_plan(kw):
+    """Per-depth (freq) channel/kernel plan mirroring reference :263-370."""
+    plan = []
+    chin = kw["audio_channels"]
+    chin_z = chin * 2  # cac
+    chout = kw["channels"]
+    chout_z = kw["channels"]
+    freqs = kw["nfft"] // 2
+    for index in range(kw["depth"]):
+        norm = index >= kw["norm_starts"]
+        freq = freqs > 1
+        ker, stri, pad = kw["kernel_size"], kw["stride"], True
+        last_freq = False
+        if freq and freqs <= kw["kernel_size"]:
+            ker, pad, last_freq = freqs, False, True
+        if last_freq:
+            chout_z = max(chout, chout_z)
+            chout = chout_z
+        plan.append(dict(index=index, norm=norm, freq=freq, ker=ker, stride=stri,
+                         pad=pad, last_freq=last_freq, chin=chin, chin_z=chin_z,
+                         chout=chout, chout_z=chout_z, freqs=freqs))
+        if index == 0:
+            chin = kw["audio_channels"] * len(kw["sources"])
+            chin_z = chin * 2
+        # next layer dims recorded via dec entry below
+        plan[-1]["dec_chin"] = chin
+        plan[-1]["dec_chin_z"] = chin_z
+        chin, chin_z = chout, chout_z
+        chout = int(kw["growth"] * chout)
+        chout_z = int(kw["growth"] * chout_z)
+        if freq:
+            freqs = 1 if freqs <= kw["kernel_size"] else freqs // kw["stride"]
+    return plan
+
+
+# --------------------------------------------------------------------------
+# init
+# --------------------------------------------------------------------------
+
+def _norm_p(c):
+    return {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+
+def init(rng, config):
+    kw = _kwargs(config)
+    plan = _layer_plan(kw)
+    keys = iter(jax.random.split(rng, 4096))
+
+    def conv(ci, co, khw, bias=True):
+        p = {"weight": L.kaiming_uniform(next(keys), (co, ci) + tuple(khw),
+                                         ci * int(np.prod(khw)))}
+        if bias:
+            p["bias"] = jnp.zeros((co,))
+        return p
+
+    def convtr(ci, co, khw):
+        return {"weight": L.kaiming_uniform(next(keys), (ci, co) + tuple(khw),
+                                            ci * int(np.prod(khw))),
+                "bias": jnp.zeros((co,))}
+
+    def dconv(ch):
+        hidden = max(1, ch // kw["dconv_comp"])
+        blocks = []
+        for d in range(kw["dconv_depth"]):
+            blocks.append({
+                "conv1": conv(ch, hidden, (3,)),
+                "norm1": _norm_p(hidden),
+                "conv2": conv(hidden, 2 * ch, (1,)),
+                "norm2": _norm_p(2 * ch),
+                "scale": jnp.full((ch,), kw["dconv_init"]),
+            })
+        return blocks
+
+    def enc_layer(ci, co, ker, freq, norm, empty=False):
+        kshape = (ker, 1) if freq else (ker,)
+        p = {"conv": conv(ci, co, kshape)}
+        if empty:
+            return p
+        if norm:
+            p["norm1"] = _norm_p(co)
+        ctx = kw["context_enc"]
+        rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+        p["rewrite"] = conv(co, 2 * co, rk)
+        if norm:
+            p["norm2"] = _norm_p(2 * co)
+        if kw["dconv_mode"] & 1:
+            p["dconv"] = dconv(co)
+        return p
+
+    def dec_layer(ci, co, ker, freq, norm, empty=False):
+        kshape = (ker, 1) if freq else (ker,)
+        p = {"conv_tr": convtr(ci, co, kshape)}
+        if norm:
+            p["norm2"] = _norm_p(co)
+        if empty:
+            return p
+        ctx = kw["context"]
+        rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+        p["rewrite"] = conv(ci, 2 * ci, rk)
+        if norm:
+            p["norm1"] = _norm_p(2 * ci)
+        if kw["dconv_mode"] & 2:
+            p["dconv"] = dconv(ci)
+        return p
+
+    params = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
+    for lp in plan:
+        params["encoder"].append(enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"],
+                                           True, lp["norm"]))
+        if lp["freq"]:
+            params["tencoder"].append(enc_layer(lp["chin"], lp["chout"],
+                                                kw["kernel_size"], False,
+                                                lp["norm"], empty=lp["last_freq"]))
+        params["decoder"].insert(0, dec_layer(lp["chout_z"], lp["dec_chin_z"],
+                                              lp["ker"], True, lp["norm"]))
+        if lp["freq"]:
+            params["tdecoder"].insert(0, dec_layer(lp["chout"], lp["dec_chin"],
+                                                   kw["kernel_size"], False,
+                                                   lp["norm"], empty=lp["last_freq"]))
+
+    # frequency embedding after encoder layer 0
+    freqs_after0 = plan[0]["freqs"] // kw["stride"]
+    emb = jax.random.normal(next(keys), (freqs_after0, plan[1]["chin_z"]))
+    params["freq_emb"] = emb / kw["emb_scale"]
+
+    # cross transformer
+    dim = kw["channels"] * kw["growth"] ** (kw["depth"] - 1)
+    heads = kw["t_heads"]
+    hidden = int(kw["t_hidden_scale"] * dim)
+
+    def attn_p(d):
+        return {"in_proj_weight": L.kaiming_uniform(next(keys), (3 * d, d), d),
+                "in_proj_bias": jnp.zeros((3 * d,)),
+                "out_proj": {"weight": L.kaiming_uniform(next(keys), (d, d), d),
+                             "bias": jnp.zeros((d,))}}
+
+    def lin(ci, co):
+        return {"weight": L.kaiming_uniform(next(keys), (co, ci), ci),
+                "bias": jnp.zeros((co,))}
+
+    def t_layer(cross):
+        p = {
+            "attn": attn_p(dim),
+            "linear1": lin(dim, hidden),
+            "linear2": lin(hidden, dim),
+            "norm1": _norm_p(dim),
+            "norm2": _norm_p(dim),
+            "gamma_1": jnp.full((dim,), 1e-4),
+            "gamma_2": jnp.full((dim,), 1e-4),
+            "norm_out": _norm_p(dim),
+        }
+        if cross:
+            p["norm3"] = _norm_p(dim)
+        return p
+
+    ct = {"norm_in": _norm_p(dim), "norm_in_t": _norm_p(dim),
+          "layers": [], "layers_t": []}
+    parity = 1 if kw["t_cross_first"] else 0
+    for i in range(kw["t_layers"]):
+        cross = i % 2 != parity
+        ct["layers"].append(t_layer(cross))
+        ct["layers_t"].append(t_layer(cross))
+    params["crosstransformer"] = ct
+    return params
+
+
+# --------------------------------------------------------------------------
+# apply helpers
+# --------------------------------------------------------------------------
+
+def _gn(x, p, groups):
+    return L.group_norm(x, p, groups)
+
+
+def _maybe_norm(x, p, key, groups):
+    return _gn(x, p[key], groups) if key in p else x
+
+
+def _dconv_apply(blocks, x, precision):
+    """(B, C, T) residual DConv branch (demucs-v4 DConv)."""
+    for d, b in enumerate(blocks):
+        dilation = 2 ** d
+        k = b["conv1"]["weight"].shape[-1]
+        padding = dilation * (k // 2)
+        y = jax.lax.conv_general_dilated(
+            x, b["conv1"]["weight"], (1,), [(padding, padding)],
+            rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=precision) + b["conv1"]["bias"][None, :, None]
+        y = _gn(y, b["norm1"], 1)
+        y = jax.nn.gelu(y, approximate=False)
+        y = L.conv1d(y, b["conv2"]["weight"], b["conv2"]["bias"], precision=precision)
+        y = _gn(y, b["norm2"], 1)
+        a, g = jnp.split(y, 2, axis=1)
+        y = a * jax.nn.sigmoid(g)
+        x = x + y * b["scale"][None, :, None]
+    return x
+
+
+def _henc_apply(p, x, kw, freq, ker, stride, pad, norm, inject=None,
+                empty=False, precision=_HIGHEST):
+    groups = kw["norm_groups"]
+    if not freq and x.ndim == 4:
+        b, c, fr, t = x.shape
+        x = x.reshape(b, -1, t)
+    if not freq:
+        le = x.shape[-1]
+        if le % stride != 0:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, stride - le % stride)))
+    padding = ker // 4 if pad else 0
+    if freq:
+        y = L.conv2d(x, p["conv"]["weight"], p["conv"]["bias"],
+                     stride=(stride, 1), padding=(padding, 0), precision=precision)
+    else:
+        y = L.conv1d(x, p["conv"]["weight"], p["conv"]["bias"], stride=stride,
+                     padding=padding, precision=precision)
+    if empty:
+        return y
+    if inject is not None:
+        if inject.ndim == 3 and y.ndim == 4:
+            inject = inject[:, :, None]
+        y = y + inject
+    y = jax.nn.gelu(_maybe_norm(y, p, "norm1", groups), approximate=False)
+    if "dconv" in p:
+        if freq:
+            b, c, fr, t = y.shape
+            z = jnp.transpose(y, (0, 2, 1, 3)).reshape(-1, c, t)
+            z = _dconv_apply(p["dconv"], z, precision)
+            y = jnp.transpose(z.reshape(b, fr, c, t), (0, 2, 1, 3))
+        else:
+            y = _dconv_apply(p["dconv"], y, precision)
+    if "rewrite" in p:
+        ctx = (p["rewrite"]["weight"].shape[2] - 1) // 2
+        if freq:
+            z = L.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                         padding=(ctx, 0), precision=precision)
+        else:
+            z = L.conv1d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                         padding=ctx, precision=precision)
+        z = _maybe_norm(z, p, "norm2", groups)
+        a, g = jnp.split(z, 2, axis=1)
+        return a * jax.nn.sigmoid(g)
+    return y
+
+
+def _hdec_apply(p, x, skip, length, kw, freq, ker, stride, pad, chin,
+                last=False, empty=False, precision=_HIGHEST):
+    groups = kw["norm_groups"]
+    if freq and x.ndim == 3:
+        b, c, t = x.shape
+        x = x.reshape(b, chin, -1, t)
+    if not empty:
+        x = x + skip
+        if "rewrite" in p:
+            ctx = (p["rewrite"]["weight"].shape[2] - 1) // 2
+            if freq:
+                z = L.conv2d(x, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                             padding=(ctx, 0), precision=precision)
+            else:
+                z = L.conv1d(x, p["rewrite"]["weight"], p["rewrite"]["bias"],
+                             padding=ctx, precision=precision)
+            z = _maybe_norm(z, p, "norm1", groups)
+            a, g = jnp.split(z, 2, axis=1)
+            y = a * jax.nn.sigmoid(g)
+        else:
+            y = x
+        if "dconv" in p:
+            if freq:
+                b, c, fr, t = y.shape
+                z = jnp.transpose(y, (0, 2, 1, 3)).reshape(-1, c, t)
+                z = _dconv_apply(p["dconv"], z, precision)
+                y = jnp.transpose(z.reshape(b, fr, c, t), (0, 2, 1, 3))
+            else:
+                y = _dconv_apply(p["dconv"], y, precision)
+    else:
+        y = x
+        assert skip is None
+
+    padding = (ker - stride) // 2 if pad else 0
+    if freq:
+        z = L.conv_transpose2d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
+                               stride=(stride, 1), precision=precision)
+        z = _maybe_norm(z, p, "norm2", groups)
+        if padding:
+            z = z[..., padding:-padding, :]
+    else:
+        kk = p["conv_tr"]["weight"].shape[-1]
+        w = jnp.flip(p["conv_tr"]["weight"], axis=-1).transpose(1, 0, 2)
+        z = jax.lax.conv_general_dilated(
+            y, w, (1,), [(kk - 1, kk - 1)], lhs_dilation=(stride,),
+            dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+        ) + p["conv_tr"]["bias"][None, :, None]
+        z = _maybe_norm(z, p, "norm2", groups)
+        z = z[..., padding : padding + length]
+    if not last:
+        z = jax.nn.gelu(z, approximate=False)
+    return z, y
+
+
+def _sin_embedding_1d(length, dim, max_period):
+    pos = np.arange(length)[:, None]
+    half = dim // 2
+    adim = np.arange(half)[None, :]
+    phase = pos / (max_period ** (adim / (half - 1)))
+    return jnp.asarray(
+        np.concatenate([np.cos(phase), np.sin(phase)], axis=-1)[None], jnp.float32)
+
+
+def _sin_embedding_2d(d_model, height, width, max_period):
+    pe = np.zeros((d_model, height, width))
+    dm = d_model // 2
+    div = np.exp(np.arange(0.0, dm, 2) * -(math.log(max_period) / dm))
+    pos_w = np.arange(width)[:, None]
+    pos_h = np.arange(height)[:, None]
+    pe[0:dm:2] = np.tile(np.sin(pos_w * div).T[:, None, :], (1, height, 1))
+    pe[1:dm:2] = np.tile(np.cos(pos_w * div).T[:, None, :], (1, height, 1))
+    pe[dm::2] = np.tile(np.sin(pos_h * div).T[:, :, None], (1, 1, width))
+    pe[dm + 1::2] = np.tile(np.cos(pos_h * div).T[:, :, None], (1, 1, width))
+    return jnp.asarray(pe[None], jnp.float32)
+
+
+def _mha(p, q, k, v, heads, precision):
+    """torch nn.MultiheadAttention (batch_first) with packed in-proj."""
+    d = q.shape[-1]
+    wq, wk, wv = jnp.split(p["in_proj_weight"], 3, axis=0)
+    bq, bk, bv = jnp.split(p["in_proj_bias"], 3, axis=0)
+    qq = jnp.einsum("btd,od->bto", q, wq, precision=precision) + bq
+    kk = jnp.einsum("btd,od->bto", k, wk, precision=precision) + bk
+    vv = jnp.einsum("btd,od->bto", v, wv, precision=precision) + bv
+    b, tq, _ = qq.shape
+    tk = kk.shape[1]
+    dh = d // heads
+    qq = jnp.transpose(qq.reshape(b, tq, heads, dh), (0, 2, 1, 3))
+    kk = jnp.transpose(kk.reshape(b, tk, heads, dh), (0, 2, 1, 3))
+    vv = jnp.transpose(vv.reshape(b, tk, heads, dh), (0, 2, 1, 3))
+    sim = jnp.einsum("bhid,bhjd->bhij", qq, kk, precision=precision) * (dh ** -0.5)
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(qq.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", attn, vv, precision=precision)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, tq, d)
+    return jnp.einsum("btd,od->bto", out, p["out_proj"]["weight"],
+                      precision=precision) + p["out_proj"]["bias"]
+
+
+def _t_norm_out(x, p):
+    # MyGroupNorm(1, d) on (B, T, C): normalize over (T, C) per sample
+    y = jnp.swapaxes(x, 1, 2)
+    y = L.group_norm(y, p, 1)
+    return jnp.swapaxes(y, 1, 2)
+
+
+def _t_self_layer(p, x, heads, precision):
+    y = L.layer_norm(x, p["norm1"])
+    x = x + p["gamma_1"] * _mha(p["attn"], y, y, y, heads, precision)
+    y = L.layer_norm(x, p["norm2"])
+    h = jnp.einsum("btd,od->bto", y, p["linear1"]["weight"],
+                   precision=precision) + p["linear1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.einsum("btd,od->bto", h, p["linear2"]["weight"],
+                   precision=precision) + p["linear2"]["bias"]
+    x = x + p["gamma_2"] * h
+    return _t_norm_out(x, p["norm_out"])
+
+
+def _t_cross_layer(p, q, kv, heads, precision):
+    qn = L.layer_norm(q, p["norm1"])
+    kn = L.layer_norm(kv, p["norm2"])
+    x = q + p["gamma_1"] * _mha(p["attn"], qn, kn, kn, heads, precision)
+    y = L.layer_norm(x, p["norm3"])
+    h = jnp.einsum("btd,od->bto", y, p["linear1"]["weight"],
+                   precision=precision) + p["linear1"]["bias"]
+    h = jax.nn.gelu(h, approximate=False)
+    h = jnp.einsum("btd,od->bto", h, p["linear2"]["weight"],
+                   precision=precision) + p["linear2"]["bias"]
+    x = x + p["gamma_2"] * h
+    return _t_norm_out(x, p["norm_out"])
+
+
+# --------------------------------------------------------------------------
+# apply
+# --------------------------------------------------------------------------
+
+def apply(params, config, mix, precision=None):
+    """(B, ch, T) -> (B, sources, ch, T)."""
+    precision = precision or _HIGHEST
+    kw = _kwargs(config)
+    plan = _layer_plan(kw)
+    nfft, hl = kw["nfft"], kw["nfft"] // 4
+    b, ch, length = mix.shape
+
+    # ---- STFT with demucs alignment (reference :427-447) ----
+    le = int(math.ceil(length / hl))
+    pad = hl // 2 * 3
+    xpad = jnp.pad(mix, ((0, 0), (0, 0), (pad, pad + le * hl - length)),
+                   mode="reflect")
+    window = hann_window(nfft, dtype=mix.dtype)
+    spec = stft_ri(xpad.reshape(b * ch, -1), nfft, hl, window,
+                   normalized=True)  # (B', F, T, 2)
+    spec = spec[:, :-1]  # drop nyquist row
+    spec = spec[:, :, 2 : 2 + le]
+    z_mix = spec.reshape(b, ch, nfft // 2, le, 2)
+
+    # CaC channels: (B, C*2, F, T) with (ch, reim) major-minor
+    mag = jnp.transpose(z_mix, (0, 1, 4, 2, 3)).reshape(b, ch * 2, nfft // 2, le)
+
+    mean = mag.mean(axis=(1, 2, 3), keepdims=True)
+    std = mag.std(axis=(1, 2, 3), keepdims=True)
+    x = (mag - mean) / (1e-5 + std)
+
+    xt = mix
+    meant = xt.mean(axis=(1, 2), keepdims=True)
+    stdt = xt.std(axis=(1, 2), keepdims=True)
+    xt = (xt - meant) / (1e-5 + stdt)
+
+    saved, saved_t, lengths, lengths_t = [], [], [], []
+    for idx, lp in enumerate(plan):
+        lengths.append(x.shape[-1])
+        inject = None
+        if idx < len(params["tencoder"]):
+            lengths_t.append(xt.shape[-1])
+            tout = _henc_apply(params["tencoder"][idx], xt, kw, False,
+                               kw["kernel_size"], kw["stride"], True,
+                               lp["norm"], empty=lp["last_freq"],
+                               precision=precision)
+            if not lp["last_freq"]:
+                xt = tout
+                saved_t.append(xt)
+            else:
+                inject = tout
+        x = _henc_apply(params["encoder"][idx], x, kw, True, lp["ker"],
+                        lp["stride"], lp["pad"], lp["norm"], inject=inject,
+                        precision=precision)
+        if idx == 0:
+            emb = params["freq_emb"] * kw["emb_scale"]  # ScaledEmbedding forward
+            x = x + kw["freq_emb"] * jnp.transpose(emb, (1, 0))[None, :, :, None]
+        saved.append(x)
+
+    # ---- cross transformer ----
+    ct = params["crosstransformer"]
+    bb, cc, fr, t1 = x.shape
+    pos2d = _sin_embedding_2d(cc, fr, t1, kw["t_max_period"])
+    tok = jnp.transpose(x.reshape(bb, cc, fr * t1), (0, 2, 1))
+    # token order must be (t1, fr): rearrange 'b c fr t1 -> b (t1 fr) c'
+    tok = jnp.transpose(x, (0, 3, 2, 1)).reshape(bb, t1 * fr, cc)
+    pos_tok = jnp.transpose(pos2d, (0, 3, 2, 1)).reshape(1, t1 * fr, cc)
+    tok = L.layer_norm(tok, ct["norm_in"])
+    tok = tok + kw["t_weight_pos_embed"] * pos_tok
+
+    t2 = xt.shape[-1]
+    tokt = jnp.swapaxes(xt, 1, 2)
+    tokt = L.layer_norm(tokt, ct["norm_in_t"])
+    tokt = tokt + kw["t_weight_pos_embed"] * _sin_embedding_1d(
+        t2, cc, kw["t_max_period"])
+
+    parity = 1 if kw["t_cross_first"] else 0
+    for i in range(kw["t_layers"]):
+        if i % 2 == parity:
+            tok = _t_self_layer(ct["layers"][i], tok, kw["t_heads"], precision)
+            tokt = _t_self_layer(ct["layers_t"][i], tokt, kw["t_heads"], precision)
+        else:
+            old = tok
+            tok = _t_cross_layer(ct["layers"][i], tok, tokt, kw["t_heads"], precision)
+            tokt = _t_cross_layer(ct["layers_t"][i], tokt, old, kw["t_heads"], precision)
+
+    x = jnp.transpose(tok.reshape(bb, t1, fr, cc), (0, 3, 2, 1))
+    xt = jnp.swapaxes(tokt, 1, 2)
+
+    # ---- decoders ----
+    s_src = len(kw["sources"])
+    for idx, lp in enumerate(reversed(plan)):
+        skip = saved.pop(-1)
+        x, pre = _hdec_apply(params["decoder"][idx], x, skip, lengths.pop(-1),
+                             kw, True, lp["ker"], lp["stride"], lp["pad"],
+                             chin=lp["chout_z"], last=lp["index"] == 0,
+                             precision=precision)
+        offset = kw["depth"] - len(params["tdecoder"])
+        if idx >= offset:
+            tdec = params["tdecoder"][idx - offset]
+            length_t = lengths_t.pop(-1)
+            if lp["last_freq"]:
+                pre2 = pre[:, :, 0]
+                xt, _ = _hdec_apply(tdec, pre2, None, length_t, kw, False,
+                                    kw["kernel_size"], kw["stride"], True,
+                                    chin=lp["chout"], last=lp["index"] == 0,
+                                    empty=True, precision=precision)
+            else:
+                skip_t = saved_t.pop(-1)
+                xt, _ = _hdec_apply(tdec, xt, skip_t, length_t, kw, False,
+                                    kw["kernel_size"], kw["stride"], True,
+                                    chin=lp["chout"], last=lp["index"] == 0,
+                                    precision=precision)
+
+    # ---- output assembly (cac) ----
+    x = x.reshape(b, s_src, ch * 2, nfft // 2, le)
+    x = x * std[:, None] + mean[:, None]
+    # cac mask -> RI spectrum (reference :470-478)
+    zout = x.reshape(b, s_src, ch, 2, nfft // 2, le)
+    zout = jnp.transpose(zout, (0, 1, 2, 4, 5, 3))  # (B, S, ch, F, T, 2)
+
+    # ---- iSTFT with demucs alignment (reference :449-457) ----
+    zz = jnp.pad(zout, ((0, 0),) * 3 + ((0, 1), (2, 2), (0, 0)))
+    le2 = hl * int(math.ceil(length / hl)) + 2 * pad
+    wav = istft_ri(zz.reshape(-1, nfft // 2 + 1, zz.shape[-2], 2), nfft, hl,
+                   window, normalized=True, length=le2)
+    wav = wav[..., pad : pad + length].reshape(b, s_src, ch, length)
+
+    xt = xt.reshape(b, s_src, ch, length)
+    xt = xt * stdt[:, None] + meant[:, None]
+    return xt + wav
+
+
+# --------------------------------------------------------------------------
+# torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_torch(state_dict, config):
+    kw = _kwargs(config)
+    plan = _layer_plan(kw)
+    sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    def wb(prefix):
+        p = {"weight": take(f"{prefix}.weight")}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = take(f"{prefix}.bias")
+        return p
+
+    def dconv(prefix):
+        blocks = []
+        d = 0
+        while f"{prefix}.layers.{d}.0.weight" in sd:
+            blocks.append({
+                "conv1": wb(f"{prefix}.layers.{d}.0"),
+                "norm1": wb(f"{prefix}.layers.{d}.1"),
+                "conv2": wb(f"{prefix}.layers.{d}.3"),
+                "norm2": wb(f"{prefix}.layers.{d}.4"),
+                "scale": take(f"{prefix}.layers.{d}.6.scale"),
+            })
+            d += 1
+        return blocks
+
+    def enc(prefix, norm, empty=False):
+        p = {"conv": wb(f"{prefix}.conv")}
+        if empty:
+            return p
+        if norm:
+            p["norm1"] = wb(f"{prefix}.norm1")
+            p["norm2"] = wb(f"{prefix}.norm2")
+        p["rewrite"] = wb(f"{prefix}.rewrite")
+        if f"{prefix}.dconv.layers.0.0.weight" in sd:
+            p["dconv"] = dconv(f"{prefix}.dconv")
+        return p
+
+    def dec(prefix, norm, empty=False):
+        p = {"conv_tr": wb(f"{prefix}.conv_tr")}
+        if norm:
+            p["norm2"] = wb(f"{prefix}.norm2")
+        if empty:
+            return p
+        if f"{prefix}.rewrite.weight" in sd:
+            p["rewrite"] = wb(f"{prefix}.rewrite")
+            if norm:
+                p["norm1"] = wb(f"{prefix}.norm1")
+        if f"{prefix}.dconv.layers.0.0.weight" in sd:
+            p["dconv"] = dconv(f"{prefix}.dconv")
+        return p
+
+    params = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
+    n_t = sum(1 for lp in plan if lp["freq"])
+    for i, lp in enumerate(plan):
+        params["encoder"].append(enc(f"encoder.{i}", lp["norm"]))
+    for i in range(n_t):
+        params["tencoder"].append(enc(f"tencoder.{i}",
+                                      plan[i]["norm"], empty=plan[i]["last_freq"]))
+    for i in range(kw["depth"]):
+        lp = plan[kw["depth"] - 1 - i]
+        params["decoder"].append(dec(f"decoder.{i}", lp["norm"]))
+    for i in range(n_t):
+        lp = plan[n_t - 1 - i]
+        params["tdecoder"].append(dec(f"tdecoder.{i}", lp["norm"],
+                                      empty=lp["last_freq"]))
+
+    params["freq_emb"] = take("freq_emb.embedding.weight")
+
+    ct = {"norm_in": wb("crosstransformer.norm_in"),
+          "norm_in_t": wb("crosstransformer.norm_in_t"),
+          "layers": [], "layers_t": []}
+    parity = 1 if kw["t_cross_first"] else 0
+    for branch, store in (("layers", "layers"), ("layers_t", "layers_t")):
+        for i in range(kw["t_layers"]):
+            cross = i % 2 != parity
+            pfx = f"crosstransformer.{branch}.{i}"
+            attn_name = "cross_attn" if cross else "self_attn"
+            lp = {
+                "attn": {
+                    "in_proj_weight": take(f"{pfx}.{attn_name}.in_proj_weight"),
+                    "in_proj_bias": take(f"{pfx}.{attn_name}.in_proj_bias"),
+                    "out_proj": wb(f"{pfx}.{attn_name}.out_proj"),
+                },
+                "linear1": wb(f"{pfx}.linear1"),
+                "linear2": wb(f"{pfx}.linear2"),
+                "norm1": wb(f"{pfx}.norm1"),
+                "norm2": wb(f"{pfx}.norm2"),
+                "gamma_1": take(f"{pfx}.gamma_1.scale"),
+                "gamma_2": take(f"{pfx}.gamma_2.scale"),
+                "norm_out": wb(f"{pfx}.norm_out"),
+            }
+            if cross:
+                lp["norm3"] = wb(f"{pfx}.norm3")
+            ct[store].append(lp)
+    params["crosstransformer"] = ct
+
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:10]} ...")
+    return params

@@ -68,47 +68,56 @@ def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
 # makes the unfused einsum path memory-bound (it writes + reads ~2 GB of
 # logits per layer at these shapes).
 
-def _vmem_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
-    q = q_ref[0]  # (S, D)
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < seq_len, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
-    o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+def _vmem_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, group):
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (q_ref.shape[1], q_ref.shape[1]), 1
+    )
+    key_mask = col < seq_len
+    for g in range(group):  # static unroll: heads within one program
+        q = q_ref[g]  # (S, D)
+        k = k_ref[g]
+        v = v_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = jnp.where(key_mask, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[g] = o.astype(o_ref.dtype)
 
 
-def _vmem_attention(q, k, v, scale):
-    """(BH, S, D) full-sequence attention, one program per batch·head row."""
+def _vmem_attention(q, k, v, scale, group=8):
+    """(BH, S, D) full-sequence attention, ``group`` heads per program
+    (amortizes per-program overhead across the many short-seq heads)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bh, s, d = q.shape
     pad = (-s) % 128
-    if pad:
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    bh_pad = (-bh) % group
+    padding = ((0, bh_pad), (0, pad), (0, 0))
+    if pad or bh_pad:
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
     sp = s + pad
+    bhp = bh + bh_pad
 
-    spec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_vmem_attn_kernel, scale=scale, seq_len=s),
-        grid=(bh,),
+        functools.partial(_vmem_attn_kernel, scale=scale, seq_len=s, group=group),
+        grid=(bhp // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bh, sp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bhp, sp, d), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * sp * sp * d * bh,
-            bytes_accessed=4 * bh * sp * d * q.dtype.itemsize,
-            transcendentals=bh * sp * sp,
+            flops=2 * 2 * sp * sp * d * bhp,
+            bytes_accessed=4 * bhp * sp * d * q.dtype.itemsize,
+            transcendentals=bhp * sp * sp,
         ),
     )(q, k, v)
-    return out[:, :s] if pad else out
+    return out[:bh, :s]
 
 
 # sequences at least this long route to the Pallas kernel on TPU; the
