@@ -1,0 +1,41 @@
+"""Every dispatchable model_type imports and exposes init/apply/convert_torch
+(the reference's 19-type dispatcher surface, utils.py:89-157)."""
+
+import pytest
+
+from sesa_tpu.models import MODEL_TYPES, get_model
+
+
+@pytest.mark.parametrize("model_type", sorted(MODEL_TYPES))
+def test_dispatch(model_type):
+    mod = get_model(model_type)
+    assert callable(getattr(mod, "init"))
+    assert callable(getattr(mod, "apply"))
+    assert callable(getattr(mod, "convert_torch"))
+
+
+def test_unknown_type():
+    with pytest.raises(ValueError, match="Unknown model type"):
+        get_model("nope")
+
+
+def test_segm_forward_and_unsupported_convert():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ml_collections import ConfigDict
+
+    from sesa_tpu.models import segm_models
+
+    config = ConfigDict({
+        "audio": {"n_fft": 512, "hop_length": 128, "dim_f": 256,
+                  "num_channels": 2, "chunk_size": 8064, "sample_rate": 44100},
+        "model": {"num_subbands": 2, "num_channels": 8, "act": "gelu"},
+        "training": {"instruments": ["vocals", "other"], "target_instrument": None},
+    })
+    params = segm_models.init(jax.random.PRNGKey(0), config)
+    x = np.random.default_rng(0).standard_normal((1, 2, 8064)).astype(np.float32) * 0.1
+    out = segm_models.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 2, 2, 8064)
+    with pytest.raises(NotImplementedError, match="imagenet-pretrained"):
+        segm_models.convert_torch({}, config)
