@@ -1,0 +1,7 @@
+from sesa_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    roformer_tp_rule,
+    shard_chunks,
+    shard_params,
+)
