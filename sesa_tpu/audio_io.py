@@ -28,7 +28,14 @@ def read_audio(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, 
     read_audio_transposed (utils.py:164-196). When ``target_sr`` differs
     from the file rate, the audio is resampled with polyphase filtering.
     """
-    if _sf is not None:
+    native = None
+    if path.lower().endswith(".wav"):
+        from sesa_tpu import native as _native
+
+        native = _native.wav_read(path)
+    if native is not None:
+        data, sr = native
+    elif _sf is not None:
         data, sr = _sf.read(path, always_2d=True)
         data = data.T.astype(np.float32)
     else:
@@ -69,6 +76,11 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
     data = audio.T  # (T, channels)
 
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        from sesa_tpu import native as _native
+
+        if _native.wav_write(path, audio, sr, subtype=subtype):
+            return
     if _sf is not None:
         _sf.write(path, data, sr, subtype=subtype)
         return
