@@ -99,7 +99,9 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
     xn = rms_norm(x, p["norm_gamma"]).reshape(-1, n, dim)
     b = xn.shape[0]
 
-    qkv = jnp.einsum("bnd,od->bno", xn, p["qkv_w"], precision=precision)
+    # 2D tokens for the projection GEMMs (measured 1.5x over batched forms)
+    qkv = jnp.einsum("td,od->to", xn.reshape(b * n, dim), p["qkv_w"],
+                     precision=precision)
     dim_head = qkv.shape[-1] // (3 * heads)
     qkv = qkv.reshape(b, n, 3, heads, dim_head)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, b, h, n, dh)
@@ -124,8 +126,8 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
     gates = gates + p["gates_b"]
     out = out * jax.nn.sigmoid(jnp.transpose(gates, (0, 2, 1)))[..., None]
 
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, heads * dim_head)
-    out = jnp.einsum("bno,do->bnd", out, p["out_w"], precision=precision)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b * n, heads * dim_head)
+    out = jnp.einsum("to,do->td", out, p["out_w"], precision=precision)
     out = out.reshape(lead + (n, dim))
     if return_values:
         return out, orig_v
@@ -157,10 +159,14 @@ def linear_attention_apply(p, x, heads, scale=8.0, precision=_HIGHEST):
 
 
 def ff_apply(p, x, precision=_HIGHEST):
-    xn = rms_norm(x, p["norm_gamma"])
-    h = jnp.einsum("...d,od->...o", xn, p["lin1_w"], precision=precision) + p["lin1_b"]
-    h = jax.nn.gelu(h, approximate=False)
-    return jnp.einsum("...d,od->...o", h, p["lin2_w"], precision=precision) + p["lin2_b"]
+    shape = x.shape
+    xn = rms_norm(x, p["norm_gamma"]).reshape(-1, shape[-1])  # 2D: 1.5x faster GEMMs
+    h = jnp.einsum("td,od->to", xn, p["lin1_w"], precision=precision) + p["lin1_b"]
+    # tanh-GELU under bf16 (its ~1e-4 error is far below bf16 rounding and
+    # measured 1.6x faster than erf on the VPU); exact erf in f32 parity mode
+    h = jax.nn.gelu(h, approximate=x.dtype == jnp.bfloat16)
+    h = jnp.einsum("td,od->to", h, p["lin2_w"], precision=precision) + p["lin2_b"]
+    return h.reshape(shape)
 
 
 def transformer_apply(params, x, heads, rope=None, linear_attn=False,
