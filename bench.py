@@ -62,7 +62,9 @@ def main():
     song_seconds = 60
     sr = 44100
     chunk = 352800  # 8 s, the reference default (gui.py:272-303)
-    batch = 4
+    # 60 s + borders = 17 chunks at overlap 2: one batch of 17 wastes zero
+    # forwards (any other size pads the tail batch with masked chunks)
+    batch = 17
 
     config = flagship_config()
     params = bs_roformer.init(jax.random.PRNGKey(0), config)

@@ -249,13 +249,8 @@ def demix(
     length_init = mix.shape[-1]
     border = spec.border
 
-    if not spec.demucs_mode and border > 0 and length_init > 2 * border:
-        mix = np.pad(mix, ((0, 0), (border, border)), mode="reflect")
-        padded = True
-    else:
-        padded = False
-
-    length = mix.shape[-1]
+    padded = not spec.demucs_mode and border > 0 and length_init > 2 * border
+    length = length_init + (2 * border if padded else 0)
     n_chunks, n_batches = _plan(spec, length)
     n_segments = -(-n_batches // seg_batches)
     l_buf = _bucket_length(
@@ -263,7 +258,13 @@ def demix(
         spec.chunk_size,
     )
 
-    mix_buf = jnp.asarray(np.pad(mix, ((0, 0), (0, l_buf - length))))
+    # upload only the raw mix; border reflect pad and buffer zero pad happen
+    # on device (the relay link is ~50 MB/s — padding host-side costs real
+    # seconds of upload on long songs)
+    mix_dev = jnp.asarray(mix)
+    if padded:
+        mix_dev = jnp.pad(mix_dev, ((0, 0), (border, border)), mode="reflect")
+    mix_buf = jnp.pad(mix_dev, ((0, 0), (0, l_buf - length)))
     result = jnp.zeros((spec.num_stems, spec.num_channels, l_buf), dtype=jnp.float32)
     counter = jnp.zeros((l_buf,), dtype=jnp.float32)
     windows = jnp.asarray(_windows(spec))

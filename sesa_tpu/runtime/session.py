@@ -166,6 +166,14 @@ class InferenceSession:
         apply_fn = self._model_apply()
         stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
                       progress_cb=progress_cb)
+        if self.compute_dtype is not None and not np.isfinite(stems).all():
+            # runtime fallback, analog of the reference's compiled->eager
+            # rescue (pytorch_backend.py:315-332): retry in full f32
+            print("non-finite output under bf16; retrying in float32")
+            self.compute_dtype = None
+            apply_fn = self._model_apply()
+            stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
+                          progress_cb=progress_cb)
         if use_tta:
             stems = apply_tta(apply_fn, self.params, mix, stems, self.spec,
                               mesh=self.mesh)
