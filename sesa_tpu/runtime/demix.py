@@ -253,8 +253,10 @@ def demix(
     length = length_init + (2 * border if padded else 0)
     n_chunks, n_batches = _plan(spec, length)
     n_segments = -(-n_batches // seg_batches)
+    # buffer must cover the furthest chunk slot of the last REAL batch
+    # (the while_loop never runs padded segment iterations)
     l_buf = _bucket_length(
-        (n_segments * seg_batches * spec.batch_size - 1) * spec.step + spec.chunk_size,
+        (n_batches * spec.batch_size - 1) * spec.step + spec.chunk_size,
         spec.chunk_size,
     )
 
