@@ -73,6 +73,14 @@ def main(argv=None) -> int:
     from sesa_tpu.audio_io import read_audio, write_audio
     from sesa_tpu.runtime.session import InferenceSession
 
+    if args.audio_path:
+        paths = [args.audio_path]
+    elif args.input_folder:
+        paths = sorted(glob.glob(os.path.join(args.input_folder, "*.*")))
+    else:
+        print("error: provide --audio_path or --input_folder", file=sys.stderr)
+        return 2
+
     t0 = time.time()
     session = InferenceSession.create(
         args.model_type,
@@ -85,14 +93,6 @@ def main(argv=None) -> int:
     )
     print(f"Model loaded in {time.time() - t0:.1f}s; "
           f"instruments: {session.instruments}")
-
-    if args.audio_path:
-        paths = [args.audio_path]
-    elif args.input_folder:
-        paths = sorted(glob.glob(os.path.join(args.input_folder, "*.*")))
-    else:
-        print("error: provide --audio_path or --input_folder", file=sys.stderr)
-        return 2
 
     store_dir = args.store_dir or "."
     os.makedirs(store_dir, exist_ok=True)
