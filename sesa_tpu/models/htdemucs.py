@@ -28,6 +28,7 @@ import numpy as np
 
 from sesa_tpu.models import layers as L
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+from sesa_tpu.ops.wiener import wiener_ri
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -38,7 +39,8 @@ def _kwargs(config):
     assert cfg.get("model", "htdemucs") == "htdemucs", (
         "only the htdemucs variant is implemented (demucs/hdemucs are legacy)")
     kw = dict(
-        channels=48, growth=2, nfft=4096, wiener_iters=0, cac=True, depth=4,
+        channels=48, growth=2, nfft=4096, wiener_iters=0, wiener_residual=False,
+        cac=True, depth=4,
         rewrite=True, multi_freqs=None, multi_freqs_depth=3, freq_emb=0.2,
         emb_scale=10, emb_smooth=True, kernel_size=8, time_stride=2, stride=4,
         context=1, context_enc=0, norm_starts=4, norm_groups=4, dconv_mode=1,
@@ -52,7 +54,6 @@ def _kwargs(config):
     kw["audio_channels"] = int(training.get("channels", 2))
     kw["samplerate"] = int(training.get("samplerate", 44100))
     kw["segment"] = training.get("segment", 10)
-    assert kw["cac"], "only cac=True (complex-as-channels) output is supported"
     assert not kw["multi_freqs"], "MultiWrap frequency splitting is not supported"
     assert kw["num_subbands"] == 1, "num_subbands > 1 is not supported"
     return kw
@@ -61,8 +62,9 @@ def _kwargs(config):
 def _layer_plan(kw):
     """Per-depth (freq) channel/kernel plan mirroring reference :263-370."""
     plan = []
+    cac_f = 2 if kw["cac"] else 1
     chin = kw["audio_channels"]
-    chin_z = chin * 2  # cac
+    chin_z = chin * cac_f
     chout = kw["channels"]
     chout_z = kw["channels"]
     freqs = kw["nfft"] // 2
@@ -81,7 +83,7 @@ def _layer_plan(kw):
                          chout=chout, chout_z=chout_z, freqs=freqs))
         if index == 0:
             chin = kw["audio_channels"] * len(kw["sources"])
-            chin_z = chin * 2
+            chin_z = chin * cac_f
         # next layer dims recorded via dec entry below
         plan[-1]["dec_chin"] = chin
         plan[-1]["dec_chin_z"] = chin_z
@@ -458,8 +460,12 @@ def apply(params, config, mix, precision=None):
     spec = spec[:, :, 2 : 2 + le]
     z_mix = spec.reshape(b, ch, nfft // 2, le, 2)
 
-    # CaC channels: (B, C*2, F, T) with (ch, reim) major-minor
-    mag = jnp.transpose(z_mix, (0, 1, 4, 2, 3)).reshape(b, ch * 2, nfft // 2, le)
+    if kw["cac"]:
+        # CaC channels: (B, C*2, F, T) with (ch, reim) major-minor
+        mag = jnp.transpose(z_mix, (0, 1, 4, 2, 3)).reshape(b, ch * 2, nfft // 2, le)
+    else:
+        # magnitude input (reference :460-467 z.abs() branch)
+        mag = jnp.sqrt(z_mix[..., 0] ** 2 + z_mix[..., 1] ** 2)
 
     mean = mag.mean(axis=(1, 2, 3), keepdims=True)
     std = mag.std(axis=(1, 2, 3), keepdims=True)
@@ -548,12 +554,35 @@ def apply(params, config, mix, precision=None):
                                     chin=lp["chout"], last=lp["index"] == 0,
                                     precision=precision)
 
-    # ---- output assembly (cac) ----
-    x = x.reshape(b, s_src, ch * 2, nfft // 2, le)
-    x = x * std[:, None] + mean[:, None]
-    # cac mask -> RI spectrum (reference :470-478)
-    zout = x.reshape(b, s_src, ch, 2, nfft // 2, le)
-    zout = jnp.transpose(zout, (0, 1, 2, 4, 5, 3))  # (B, S, ch, F, T, 2)
+    # ---- output assembly ----
+    if kw["cac"]:
+        x = x.reshape(b, s_src, ch * 2, nfft // 2, le)
+        x = x * std[:, None] + mean[:, None]
+        # cac mask -> RI spectrum (reference :470-478)
+        zout = x.reshape(b, s_src, ch, 2, nfft // 2, le)
+        zout = jnp.transpose(zout, (0, 1, 2, 4, 5, 3))  # (B, S, ch, F, T, 2)
+    else:
+        # magnitude estimates -> Wiener / softmask (reference :470-517)
+        m = x.reshape(b, s_src, ch, nfft // 2, le)
+        m = m * std[:, None] + mean[:, None]
+        niters = kw["wiener_iters"]
+        if niters < 0:
+            # mix-phase soft mask: z / |z| * m
+            zn = z_mix / jnp.maximum(
+                jnp.sqrt(z_mix[..., 0] ** 2 + z_mix[..., 1] ** 2), 1e-8
+            )[..., None]
+            zout = zn[:, None] * m[..., None]  # (B, S, ch, F, T, 2)
+        else:
+            # (B,S,ch,F,T) -> per-sample wiener over (T,F,C,S)
+            tgt = jnp.transpose(m, (0, 4, 3, 2, 1))  # (B, T, F, ch, S)
+            mx = jnp.transpose(z_mix, (0, 3, 2, 1, 4))  # (B, T, F, ch, 2)
+            out = jax.vmap(
+                lambda tg, mi: wiener_ri(tg, mi, niters,
+                                         residual=kw["wiener_residual"])
+            )(tgt, mx)  # (B, T, F, ch, 2, S)
+            if kw["wiener_residual"]:
+                out = out[..., :-1]
+            zout = jnp.transpose(out, (0, 5, 3, 2, 1, 4))  # (B,S,ch,F,T,2)
 
     # ---- iSTFT with demucs alignment (reference :449-457) ----
     zz = jnp.pad(zout, ((0, 0),) * 3 + ((0, 1), (2, 2), (0, 0)))

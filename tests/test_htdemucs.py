@@ -55,3 +55,27 @@ def test_session_demucs_mode():
     spec = DemixSpec(chunk_size=44100, num_overlap=2, batch_size=2,
                      num_stems=4, demucs_mode=True)
     assert spec.border == 0 and spec.step == 22050
+
+
+def test_forward_wiener_mode():
+    """cac=False: magnitude input, Wiener EM output (reference :470-517)."""
+    config = tiny_config()
+    config.htdemucs.update(cac=False, wiener_iters=1, wiener_residual=True)
+    params = htdemucs.init(jax.random.PRNGKey(1), config)
+    t = 512 * 64
+    x = np.random.default_rng(1).standard_normal((1, 2, t)).astype(np.float32) * 0.1
+    out = htdemucs.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_softmask_mode():
+    """cac=False, wiener_iters<0: mix-phase soft mask."""
+    config = tiny_config()
+    config.htdemucs.update(cac=False, wiener_iters=-1)
+    params = htdemucs.init(jax.random.PRNGKey(2), config)
+    t = 512 * 64
+    x = np.random.default_rng(2).standard_normal((1, 2, t)).astype(np.float32) * 0.1
+    out = htdemucs.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
