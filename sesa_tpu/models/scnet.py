@@ -532,12 +532,19 @@ def convert_torch(state_dict, config, variant="lstm"):
 
         params["first_conv"] = take("first_conv.weight")
         d_rope = kw["tran_rotary_embedding_dim"]
-        params["rope_time_freqs"] = (take("separation_net.time_rotary_embed.freqs")
-                                     if "separation_net.time_rotary_embed.freqs" in sd
-                                     else jnp.asarray(default_freqs(d_rope)))
-        params["rope_freq_freqs"] = (take("separation_net.freq_rotary_embed.freqs")
-                                     if "separation_net.freq_rotary_embed.freqs" in sd
-                                     else jnp.asarray(default_freqs(d_rope)))
+        # one RotaryEmbedding instance per axis is shared across every
+        # attention layer, so its freqs parameter shows up in the state dict
+        # once per layer under ...{time,freq}_layer.layers.{j}.0.rotary_embed
+        # (reference scnet_tran.py:263-268). Read one, consume all.
+        for axis, pname in (("time", "rope_time_freqs"),
+                            ("freq", "rope_freq_freqs")):
+            keys = sorted(k for k in sd
+                          if f"{axis}_layer." in k and k.endswith("rotary_embed.freqs"))
+            if keys:
+                params[pname] = take(keys[0])
+                used.update(keys)
+            else:
+                params[pname] = jnp.asarray(default_freqs(d_rope))
     if variant == "masked":
         params["pos_embed_f"] = take("pos_embed_f")
         params["mask_conv1"] = wb("mask_layer.0")

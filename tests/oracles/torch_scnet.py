@@ -69,7 +69,7 @@ def _dual_path(x, sd, prefix):
 
 
 @torch.no_grad()
-def forward(sd, kw, x):
+def forward(sd, kw, x, variant="lstm"):
     """x (B, ch, T) -> (B, sources, ch, T)."""
     b, ch, length = x.shape
     hop = kw["hop_size"]
@@ -126,7 +126,11 @@ def forward(sd, kw, x):
                      sd[f"encoder.{i}.globalconv.bias"], padding=(k - 1) // 2)
 
     for i in range(kw["num_dplayer"]):
-        z = _dual_path(z, sd, f"separation_net.dp_modules.{i}")
+        if variant == "tran":
+            z = _dual_path_tran(z, sd, f"separation_net.dp_modules.{i}",
+                                kw["tran_heads"], kw["tran_depth"])
+        else:
+            z = _dual_path(z, sd, f"separation_net.dp_modules.{i}")
         if i % 2 == 0:
             zc = torch.fft.rfft(z.float(), dim=3, norm="ortho")
             z = torch.cat([zc.real, zc.imag], dim=1)
@@ -162,3 +166,67 @@ def forward(sd, kw, x):
                       center=True, normalized=kw["normalized"])
     wav = wav.reshape(bb, len(kw["sources"]), ch, -1)
     return wav[:, :, :, :-padding]
+
+
+# ---- tran variant (reference models/scnet/scnet_tran.py) -------------------
+
+def _rms(x, sd, p):
+    return F.normalize(x, dim=-1) * x.shape[-1] ** 0.5 * sd[f"{p}.gamma"]
+
+
+def _rope(x, freqs):
+    """rotary_embedding_torch rotate_queries_or_keys: interleaved pairs,
+    partial rotary over the leading 2*len(freqs) dims."""
+    rot = freqs.shape[0] * 2
+    n = x.shape[-2]
+    t = torch.arange(n, dtype=torch.float32)
+    ang = (t[:, None] * freqs[None, :]).repeat_interleave(2, dim=-1)
+    cos, sin = ang.cos(), ang.sin()
+    head, rest = x[..., :rot], x[..., rot:]
+    x2 = head.reshape(*head.shape[:-1], rot // 2, 2)
+    rh = torch.stack([-x2[..., 1], x2[..., 0]], dim=-1).reshape(head.shape)
+    return torch.cat([head * cos + rh * sin, rest], dim=-1)
+
+
+def _attention(x, sd, p, heads, freqs):
+    xn = _rms(x, sd, f"{p}.norm")
+    qkv = F.linear(xn, sd[f"{p}.to_qkv.weight"])
+    b, n, _ = qkv.shape
+    q, k, v = qkv.reshape(b, n, 3, heads, -1).permute(2, 0, 3, 1, 4)
+    q = _rope(q, freqs)
+    k = _rope(k, freqs)
+    out = F.scaled_dot_product_attention(q, k, v)
+    gates = F.linear(xn, sd[f"{p}.to_gates.weight"], sd[f"{p}.to_gates.bias"])
+    out = out * gates.transpose(1, 2).unsqueeze(-1).sigmoid()
+    out = out.transpose(1, 2).reshape(b, n, -1)
+    return F.linear(out, sd[f"{p}.to_out.0.weight"])
+
+
+def _ff(x, sd, p):
+    y = _rms(x, sd, f"{p}.net.0")
+    y = F.linear(y, sd[f"{p}.net.1.weight"], sd[f"{p}.net.1.bias"])
+    y = F.gelu(y)
+    return F.linear(y, sd[f"{p}.net.4.weight"], sd[f"{p}.net.4.bias"])
+
+
+def _transformer(x, sd, p, depth, heads, freqs):
+    for i in range(depth):
+        x = _attention(x, sd, f"{p}.layers.{i}.0", heads, freqs) + x
+        x = _ff(x, sd, f"{p}.layers.{i}.1") + x
+    return _rms(x, sd, f"{p}.norm")
+
+
+def _dual_path_tran(x, sd, prefix, heads, depth):
+    ffreqs = sd[f"{prefix}.freq_layer.layers.0.0.rotary_embed.freqs"]
+    tfreqs = sd[f"{prefix}.time_layer.layers.0.0.rotary_embed.freqs"]
+    b, c, fr, t = x.shape
+    orig = x
+    y = _gn(x, sd, f"{prefix}.norm_layers.0")
+    y = y.transpose(1, 3).contiguous().view(b * t, fr, c)
+    y = _transformer(y, sd, f"{prefix}.freq_layer", depth, heads, ffreqs)
+    x = y.view(b, t, fr, c).transpose(1, 3) + orig
+    orig = x
+    y = _gn(x, sd, f"{prefix}.norm_layers.1")
+    y = y.transpose(1, 2).contiguous().view(b * fr, c, t).transpose(1, 2)
+    y = _transformer(y, sd, f"{prefix}.time_layer", depth, heads, tfreqs)
+    return y.transpose(1, 2).contiguous().view(b, fr, c, t).transpose(1, 2) + orig

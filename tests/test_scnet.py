@@ -55,6 +55,8 @@ def export_state_dict(params, kw):
         put(f"encoder.{i}.globalconv", blk["global_conv"])
 
     for i, layer in enumerate(params["separation"]):
+        if "freq" not in layer:  # tran layers are exported separately
+            continue
         p = f"separation_net.dp_modules.{i}"
         for j, name in enumerate(("freq", "time")):
             put(f"{p}.norm_layers.{j}", layer[name]["norm"])
@@ -165,3 +167,82 @@ def test_scnet_converter_round_trip():
     assert len(l1) == len(l2)
     for a, b in zip(l1, l2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def export_state_dict_tran(params, kw):
+    """Inverse of scnet.convert_torch(variant='tran'), including the
+    per-attention-layer rotary_embed.freqs copies real checkpoints carry."""
+    sd = dict(export_state_dict(params, kw))  # encoder/decoder are shared
+    # drop the lstm separation keys the shared exporter produced
+    sd = {k: v for k, v in sd.items() if ".lstm_layers." not in k
+          and ".linear_layers." not in k
+          and not (".norm_layers." in k and "dp_modules" in k)}
+
+    def put_t(prefix, tr, depth, freqs):
+        for j in range(depth):
+            a, f = f"{prefix}.layers.{j}.0", f"{prefix}.layers.{j}.1"
+            attn, ff = tr["layers"][j]["attn"], tr["layers"][j]["ff"]
+            sd[f"{a}.norm.gamma"] = torch.from_numpy(np.asarray(attn["norm_gamma"]))
+            sd[f"{a}.to_qkv.weight"] = torch.from_numpy(np.asarray(attn["qkv_w"]))
+            sd[f"{a}.to_gates.weight"] = torch.from_numpy(np.asarray(attn["gates_w"]))
+            sd[f"{a}.to_gates.bias"] = torch.from_numpy(np.asarray(attn["gates_b"]))
+            sd[f"{a}.to_out.0.weight"] = torch.from_numpy(np.asarray(attn["out_w"]))
+            sd[f"{a}.rotary_embed.freqs"] = freqs
+            sd[f"{f}.net.0.gamma"] = torch.from_numpy(np.asarray(ff["norm_gamma"]))
+            sd[f"{f}.net.1.weight"] = torch.from_numpy(np.asarray(ff["lin1_w"]))
+            sd[f"{f}.net.1.bias"] = torch.from_numpy(np.asarray(ff["lin1_b"]))
+            sd[f"{f}.net.4.weight"] = torch.from_numpy(np.asarray(ff["lin2_w"]))
+            sd[f"{f}.net.4.bias"] = torch.from_numpy(np.asarray(ff["lin2_b"]))
+        sd[f"{prefix}.norm.gamma"] = torch.from_numpy(
+            np.asarray(tr["norm_gamma"]))
+
+    tfreqs = torch.from_numpy(np.asarray(params["rope_time_freqs"]))
+    ffreqs = torch.from_numpy(np.asarray(params["rope_freq_freqs"]))
+    for i, layer in enumerate(params["separation"]):
+        p = f"separation_net.dp_modules.{i}"
+        for name in ("weight", "bias"):
+            sd[f"{p}.norm_layers.0.{name}"] = torch.from_numpy(
+                np.asarray(layer["freq_norm"][name]))
+            sd[f"{p}.norm_layers.1.{name}"] = torch.from_numpy(
+                np.asarray(layer["time_norm"][name]))
+        put_t(f"{p}.freq_layer", layer["freq_tran"], kw["tran_depth"], ffreqs)
+        put_t(f"{p}.time_layer", layer["time_tran"], kw["tran_depth"], tfreqs)
+    sd["first_conv.weight"] = torch.from_numpy(np.asarray(params["first_conv"]))
+    return sd
+
+
+def tiny_tran_kwargs():
+    kw = tiny_kwargs()
+    kw.update(tran_rotary_embedding_dim=8, tran_depth=1, tran_heads=2,
+              tran_dim_head=8, tran_attn_dropout=0.0, tran_ff_dropout=0.0,
+              tran_flash_attn=False)
+    return kw
+
+
+def test_scnet_tran_matches_torch_oracle():
+    from tests.oracles import torch_scnet
+    from sesa_tpu.models import scnet_tran
+
+    kw = tiny_tran_kwargs()
+    config = ConfigDict({"model": kw})
+    params = scnet_tran.init(jax.random.PRNGKey(5), config)
+    sd = export_state_dict_tran(params, kw)
+    x = np.random.default_rng(6).standard_normal((1, 2, 6000)).astype(np.float32) * 0.1
+    ref = torch_scnet.forward(sd, kw, torch.from_numpy(x), variant="tran").numpy()
+    out = np.asarray(scnet_tran.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=4e-4)
+
+
+def test_scnet_tran_converter_round_trip():
+    from sesa_tpu.models import scnet_tran
+
+    kw = tiny_tran_kwargs()
+    config = ConfigDict({"model": kw})
+    params = scnet_tran.init(jax.random.PRNGKey(7), config)
+    sd = export_state_dict_tran(params, kw)
+    conv = scnet.convert_torch(sd, config, variant="tran")
+    flat_a = jax.tree.leaves(params)
+    flat_b = jax.tree.leaves(conv)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
