@@ -81,6 +81,9 @@ def main():
         + 0.1 * rng.standard_normal(song_seconds * sr)
     ).astype(np.float32)
     mix = np.stack([song, 0.9 * song])
+    # real input is 16-bit PCM; quantizing keeps the benchmark honest and
+    # exercises the lossless int16 host->device upload path
+    mix = np.clip(np.round(mix * 32768), -32768, 32767).astype(np.float32) / 32768
 
     # warmup / compile
     t0 = time.time()

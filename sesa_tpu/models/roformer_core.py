@@ -14,7 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sesa_tpu.models.layers import kaiming_uniform, rms_norm
-from sesa_tpu.ops.attention import l2norm, sdpa
+from sesa_tpu.ops.attention import (_use_fused, fused_attention_block,
+                                    l2norm, sdpa)
+from sesa_tpu.ops.ff import fused_ff_residual, use_fused_ff
 from sesa_tpu.ops.rope import apply_rope
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -103,6 +105,7 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
     qkv = jnp.einsum("td,od->to", xn.reshape(b * n, dim), p["qkv_w"],
                      precision=precision)
     dim_head = qkv.shape[-1] // (3 * heads)
+
     qkv = qkv.reshape(b, n, 3, heads, dim_head)
     qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, b, h, n, dh)
     q, k, v = qkv[0], qkv[1], qkv[2]
@@ -132,6 +135,20 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
     if return_values:
         return out, orig_v
     return out
+
+
+def attention_apply_residual(p, x, heads, rope=None, precision=_HIGHEST):
+    """attention_apply(x) + x; on the bf16 TPU path the whole block (norm,
+    qkv, rope, attention, gates, out projection, residual) runs as one
+    Pallas kernel — the qkv tensor and normed activations never touch HBM."""
+    n, dim = x.shape[-2:]
+    dim_head = p["qkv_w"].shape[0] // (3 * heads)
+    if "vr_mix_w" not in p and _use_fused(n, dim_head, heads):
+        out = fused_attention_block(
+            x.reshape(-1, n, dim), p["norm_gamma"], p["qkv_w"], p["gates_w"],
+            p["gates_b"], p["out_w"], heads, dim_head ** -0.5, rope=rope)
+        return out.reshape(x.shape)
+    return attention_apply(p, x, heads, rope=rope, precision=precision) + x
 
 
 def linear_attention_apply(p, x, heads, scale=8.0, precision=_HIGHEST):
@@ -169,14 +186,25 @@ def ff_apply(p, x, precision=_HIGHEST):
     return h.reshape(shape)
 
 
+def ff_apply_residual(p, x, precision=_HIGHEST):
+    """ff_apply(x) + x, via the fused Pallas kernel on the bf16 TPU path."""
+    x2d = x.reshape(-1, x.shape[-1])
+    if use_fused_ff(x2d, p["lin1_w"]):
+        out = fused_ff_residual(x2d, p["norm_gamma"], p["lin1_w"], p["lin1_b"],
+                                p["lin2_w"], p["lin2_b"])
+        return out.reshape(x.shape)
+    return ff_apply(p, x, precision=precision) + x
+
+
 def transformer_apply(params, x, heads, rope=None, linear_attn=False,
                       precision=_HIGHEST):
     for layer in params["layers"]:
         if linear_attn:
             x = linear_attention_apply(layer["attn"], x, heads, precision=precision) + x
         else:
-            x = attention_apply(layer["attn"], x, heads, rope=rope, precision=precision) + x
-        x = ff_apply(layer["ff"], x, precision=precision) + x
+            x = attention_apply_residual(layer["attn"], x, heads, rope=rope,
+                                         precision=precision)
+        x = ff_apply_residual(layer["ff"], x, precision=precision)
     if "norm_gamma" in params:
         x = rms_norm(x, params["norm_gamma"])
     return x
@@ -209,7 +237,7 @@ def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
             if first_values is None:
                 first_values = next_values
             x = attn_out + x
-            x = ff_apply(layer["ff"], x, precision=precision) + x
+            x = ff_apply_residual(layer["ff"], x, precision=precision)
     if "norm_gamma" in params:
         x = rms_norm(x, params["norm_gamma"])
     return x, first_values

@@ -133,3 +133,260 @@ def _use_pallas(seq: int, dim_head: int) -> bool:
         return jax.devices()[0].platform != "cpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Fused rope + attention over packed qkv
+# ---------------------------------------------------------------------------
+#
+# The roformer hot path spends more time on data movement around attention
+# than in it: the (b, n, 3·h·dh) -> (3, b, h, n, dh) transpose, two rope
+# passes, and the output head re-pack each stream ~2 GB through HBM per
+# layer at production shapes. This kernel keeps the projection GEMM's
+# natural packed layout end-to-end: each program loads a slab of sequences,
+# slices q/k/v per head from the packed columns in VMEM, rotates q/k with
+# the interleaved-rope ±1 matrix on the MXU, runs f32-softmax attention,
+# and writes the (b, n, h·dh) output the out-projection wants. Nothing but
+# the qkv tensor and the output ever touches HBM.
+
+def _fused_attn_kernel(qkv_ref, cos_ref, sin_ref, j_ref, o_ref, *,
+                       scale, seq_len, heads, dh, gb, use_rope):
+    sp = qkv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    key_mask = col < seq_len
+    if use_rope:
+        cos = cos_ref[...]  # (sp, dh)
+        sin = sin_ref[...]
+        jm = j_ref[...]     # (dh, dh) rotate-half matrix (zero outside the
+        #                     rotary slice; cos/sin are 1/0 there)
+
+    def one_seq(bi, _):
+        # dynamic leading-dim index + fori_loop keep VMEM stack usage at
+        # one sequence's temporaries (a static gb-unroll OOMs scoped vmem)
+        for h in range(heads):
+            q = qkv_ref[bi, :, h * dh:(h + 1) * dh]
+            k = qkv_ref[bi, :, (heads + h) * dh:(heads + h + 1) * dh]
+            v = qkv_ref[bi, :, (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
+            if use_rope:
+                # Mosaic requires a 32-bit matmul accumulator; the ±1
+                # rotate-half product stays exact either way
+                q = q * cos + jax.lax.dot(
+                    q, jm, preferred_element_type=jnp.float32
+                ).astype(q.dtype) * sin
+                k = k * cos + jax.lax.dot(
+                    k, jm, preferred_element_type=jnp.float32
+                ).astype(k.dtype) * sin
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(key_mask, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            o_ref[bi, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+        return 0
+
+    if gb == 1:
+        one_seq(0, None)
+    else:
+        jax.lax.fori_loop(0, gb, one_seq, 0)
+
+
+def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
+    """Packed-qkv attention: (b, n, 3·h·dh) -> (b, n, h·dh).
+
+    ``rope`` is the interleaved-convention (cos, sin) table pair of shape
+    (n, w) with w <= dh (partial rotary rotates only the leading w dims,
+    matching rotary_embedding_torch). Numerics are identical to the
+    unfused path: rope via the exact ±1 matrix, f32 softmax.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sesa_tpu.ops.rope import _rotate_half_matrix
+
+    b, n, packed = qkv.shape
+    dh = packed // (3 * heads)
+    sp = n + (-n) % 128
+    # short sequences group several per program to amortize grid overhead
+    gb = max(1, 1024 // sp)
+    bp = b + (-b) % gb
+    if sp != n or bp != b:
+        qkv = jnp.pad(qkv, ((0, bp - b), (0, sp - n), (0, 0)))
+
+    use_rope = rope is not None
+    if use_rope:
+        cos, sin = rope
+        w = cos.shape[-1]
+        cos = jnp.pad(cos.astype(qkv.dtype), ((0, sp - n), (0, dh - w)),
+                      constant_values=1)
+        sin = jnp.pad(sin.astype(qkv.dtype), ((0, sp - n), (0, dh - w)))
+        jm = jnp.pad(_rotate_half_matrix(w, qkv.dtype.name),
+                     ((0, dh - w), (0, dh - w)))
+    else:  # dummies keep one kernel signature; the kernel never reads them
+        cos = sin = jnp.zeros((sp, dh), qkv.dtype)
+        jm = jnp.zeros((dh, dh), qkv.dtype)
+
+    tbl = pl.BlockSpec((sp, dh), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_attn_kernel, scale=scale, seq_len=n,
+                          heads=heads, dh=dh, gb=gb, use_rope=use_rope),
+        grid=(bp // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, sp, packed), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tbl, tbl,
+            pl.BlockSpec((dh, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, sp, packed // 3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, sp, packed // 3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * sp * sp * dh * bp * heads,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 4 // 3,
+            transcendentals=bp * heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(qkv, cos, sin, jm)
+    return out[:b, :n]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused attention block: norm + qkv + rope + attention + gates + out
+# ---------------------------------------------------------------------------
+#
+# One step further than fused_rope_attention: the projection GEMMs move into
+# the kernel too. Per program the residual stream tile is read once, RMS-
+# normed in f32, projected against the VMEM-resident qkv/gates/out weights,
+# attended per head with rope applied in registers, gated, projected back,
+# and written with the residual already added. The (tokens, 3·h·dh) qkv
+# tensor and the (tokens, dim) normed activation never exist in HBM at all
+# (~4 GB of traffic per layer at production shapes).
+
+def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
+                       cos_ref, sin_ref, j_ref, o_ref, *,
+                       scale, seq_len, heads, dh, gb, use_rope):
+    sp, d = x_ref.shape[1], x_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    key_mask = col < seq_len
+    gamma = gamma_ref[...]
+    if use_rope:
+        cos = cos_ref[...]
+        sin = sin_ref[...]
+        jm = j_ref[...]
+
+    def one_seq(bi, _):
+        xx = x_ref[bi]  # (sp, d)
+        xf = xx.astype(jnp.float32)
+        nrm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+        xn = (xf * (d ** 0.5) / jnp.maximum(nrm, 1e-12)).astype(xx.dtype) * gamma
+        qkv = jax.lax.dot_general(
+            xn, wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(xx.dtype)  # (sp, 3hd)
+        gates = jax.lax.dot_general(
+            xn, wg_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bg_ref[...].astype(jnp.float32)
+        sig = jax.nn.sigmoid(gates)  # (sp, heads) f32
+
+        head_outs = []
+        for h in range(heads):
+            q = qkv[:, h * dh:(h + 1) * dh]
+            k = qkv[:, (heads + h) * dh:(heads + h + 1) * dh]
+            v = qkv[:, (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
+            if use_rope:
+                q = q * cos + jax.lax.dot(
+                    q, jm, preferred_element_type=jnp.float32).astype(q.dtype) * sin
+                k = k * cos + jax.lax.dot(
+                    k, jm, preferred_element_type=jnp.float32).astype(k.dtype) * sin
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(key_mask, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            o = o * sig[:, h][:, None]
+            head_outs.append(o.astype(xx.dtype))
+        ao = jnp.concatenate(head_outs, axis=-1)  # (sp, h·dh)
+        out = jax.lax.dot_general(
+            ao, wo_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[bi] = out.astype(o_ref.dtype) + xx  # residual folded in
+        return 0
+
+    if gb == 1:
+        one_seq(0, None)
+    else:
+        jax.lax.fori_loop(0, gb, one_seq, 0)
+
+
+def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
+                          rope=None, interpret=False):
+    """x (b, n, d) -> x + gated-attention(rms_norm(x)) in one kernel.
+
+    Weights keep their torch (out_features, in_features) layouts:
+    wqkv (3·h·dh, d), wg (heads, d), wo (d, h·dh); bg (heads,).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sesa_tpu.ops.rope import _rotate_half_matrix
+
+    b, n, d = x.shape
+    dh = wqkv.shape[0] // (3 * heads)
+    sp = n + (-n) % 128
+    gb = max(1, 1024 // sp)
+    bp = b + (-b) % gb
+    if sp != n or bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
+
+    use_rope = rope is not None
+    if use_rope:
+        cos, sin = rope
+        w = cos.shape[-1]
+        cos = jnp.pad(cos.astype(x.dtype), ((0, sp - n), (0, dh - w)),
+                      constant_values=1)
+        sin = jnp.pad(sin.astype(x.dtype), ((0, sp - n), (0, dh - w)))
+        jm = jnp.pad(_rotate_half_matrix(w, x.dtype.name),
+                     ((0, dh - w), (0, dh - w)))
+    else:
+        cos = sin = jnp.zeros((sp, dh), x.dtype)
+        jm = jnp.zeros((dh, dh), x.dtype)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    stream = pl.BlockSpec((gb, sp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, scale=scale, seq_len=n,
+                          heads=heads, dh=dh, gb=gb, use_rope=use_rope),
+        grid=(bp // gb,),
+        in_specs=[stream, const((d,)), const(wqkv.shape), const(wg.shape),
+                  const(bg.shape), const(wo.shape), const((sp, dh)),
+                  const((sp, dh)), const((dh, dh))],
+        out_specs=stream,
+        out_shape=jax.ShapeDtypeStruct((bp, sp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * sp * (d * 4 * heads * dh + 2 * sp * heads * dh),
+            bytes_accessed=2 * bp * sp * d * x.dtype.itemsize,
+            transcendentals=bp * heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(x, gamma, wqkv, wg, bg, wo, cos, sin, jm)
+    return out[:b, :n]
+
+
+def _use_fused(seq: int, dim_head: int, heads: int) -> bool:
+    # VMEM budget: one program holds gb·(sp·3·h·dh input + sp·h·dh out)
+    # bf16 plus an (sp, sp) f32 score tile; the shapes this serves
+    # (seq<=2048, h·dh<=1024) stay under ~10 MB.
+    if not (8 <= seq <= _PALLAS_MAX_SEQ) or dim_head > 128 or dim_head < 8:
+        return False
+    if heads * dim_head > 1024 or dim_head % 8:
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False

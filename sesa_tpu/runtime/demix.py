@@ -223,6 +223,29 @@ def _bucket_length(l_buf: int, chunk: int) -> int:
     return 1 << (base - 1).bit_length()
 
 
+@jax.jit
+def _int16_to_f32(x: jax.Array) -> jax.Array:
+    return x.astype(jnp.float32) * (1.0 / 32768.0)
+
+
+def _upload_mix(mix: np.ndarray) -> jax.Array:
+    """Host->device transfer of the mix, halved when lossless.
+
+    Audio decoded from 16-bit PCM is exactly ``n / 32768`` — for such
+    signals an int16 transfer plus an on-device rescale reproduces the
+    float32 array bit-for-bit at half the bytes. The relay link runs at
+    ~50 MB/s, so this saves ~0.2 s on a 60 s stereo song. Anything not
+    exactly representable (float sources, 24-bit, processed audio) falls
+    back to the plain float32 upload.
+    """
+    scaled = mix * 32768.0
+    if np.all(np.abs(scaled) <= 32767):
+        as_int = scaled.astype(np.int16)
+        if np.array_equal(as_int.astype(np.float32), scaled):
+            return _int16_to_f32(jnp.asarray(as_int))
+    return jnp.asarray(mix)
+
+
 def _plan(spec: DemixSpec, length: int) -> tuple[int, int]:
     n_chunks = max(1, -(-length // spec.step))
     n_batches = -(-n_chunks // spec.batch_size)
@@ -263,7 +286,7 @@ def demix(
     # upload only the raw mix; border reflect pad and buffer zero pad happen
     # on device (the relay link is ~50 MB/s — padding host-side costs real
     # seconds of upload on long songs)
-    mix_dev = jnp.asarray(mix)
+    mix_dev = _upload_mix(mix)
     if padded:
         mix_dev = jnp.pad(mix_dev, ((0, 0), (border, border)), mode="reflect")
     mix_buf = jnp.pad(mix_dev, ((0, 0), (0, l_buf - length)))

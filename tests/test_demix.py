@@ -155,3 +155,21 @@ def test_progress_callback():
     demix(_identity_model, None, mix, spec, progress_cb=progress.append)
     assert progress and progress[-1] == 1.0
     assert all(b >= a for a, b in zip(progress, progress[1:]))
+
+
+def test_upload_mix_int16_exactness():
+    from sesa_tpu.runtime.demix import _upload_mix
+
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-32768, 32768, size=(2, 1000), dtype=np.int16)
+    as_f32 = pcm.astype(np.float32) / 32768.0
+    up = np.asarray(_upload_mix(as_f32))
+    np.testing.assert_array_equal(up, as_f32)  # bit-exact round trip
+
+    # non-PCM16 content must take the float path unchanged
+    arb = rng.standard_normal((2, 1000)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(_upload_mix(arb)), arb)
+
+    # out-of-range samples (clipping-hot masters) also fall back
+    hot = as_f32 * 1.5
+    np.testing.assert_array_equal(np.asarray(_upload_mix(hot)), hot)
