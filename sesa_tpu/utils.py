@@ -64,6 +64,43 @@ def load_start_checkpoint(bundle: ModelBundle, checkpoint_path: str) -> None:
     bundle.params = convert_checkpoint(bundle.model_type, sd, bundle.config)
 
 
+def load_not_compatible_weights(bundle: ModelBundle, checkpoint_path: str,
+                                verbose: bool = False) -> None:
+    """Load a shape-mismatched checkpoint (reference utils.py:502-558).
+
+    Reference semantics per tensor: same shape -> copy; same rank but
+    different shape -> copy the overlapping slice and ZERO-fill the rest
+    (the reference builds a zero max-matrix, not the initialized values);
+    different rank -> keep the model's current values. The reference
+    additionally tolerates missing keys; here the checkpoint must carry
+    the full key set (the per-architecture converters consume keys
+    strictly), which holds for every real fine-tune of the same family.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sesa_tpu.convert import convert_checkpoint, load_torch_state_dict
+
+    if bundle.params is None:
+        bundle.init()
+    sd = load_torch_state_dict(checkpoint_path)
+    loaded = convert_checkpoint(bundle.model_type, sd, bundle.config)
+
+    def slice_copy(dst, src):
+        if dst.shape == src.shape:
+            return src.astype(dst.dtype)
+        if dst.ndim != src.ndim:
+            if verbose:
+                print(f"rank mismatch {src.shape} -> {dst.shape}: kept")
+            return dst
+        if verbose:
+            print(f"slice-copy {src.shape} -> {dst.shape}")
+        sl = tuple(slice(0, min(a, b)) for a, b in zip(dst.shape, src.shape))
+        return jnp.zeros(dst.shape, dst.dtype).at[sl].set(src[sl].astype(dst.dtype))
+
+    bundle.params = jax.tree.map(slice_copy, bundle.params, loaded)
+
+
 def _spec_for(config, model_type: str) -> DemixSpec:
     cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
     audio = cfg.get("audio", {}) or {}
