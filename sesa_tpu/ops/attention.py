@@ -15,6 +15,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -264,35 +265,42 @@ def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
 # (~4 GB of traffic per layer at production shapes).
 
 def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
-                       cos_ref, sin_ref, j_ref, o_ref, *,
+                       cos_ref, sin_ref, j_ref, ge_ref, o_ref,
+                       qkv_scr, ao_scr, *,
                        scale, seq_len, heads, dh, gb, use_rope):
+    from jax.experimental import pallas as pl
+
     sp, d = x_ref.shape[1], x_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
     key_mask = col < seq_len
-    gamma = gamma_ref[...]
     if use_rope:
         cos = cos_ref[...]
         sin = sin_ref[...]
         jm = j_ref[...]
 
-    def one_seq(bi, _):
-        xx = x_ref[bi]  # (sp, d)
-        xf = xx.astype(jnp.float32)
-        nrm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
-        xn = (xf * (d ** 0.5) / jnp.maximum(nrm, 1e-12)).astype(xx.dtype) * gamma
-        qkv = jax.lax.dot_general(
-            xn, wqkv_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(xx.dtype)  # (sp, 3hd)
-        gates = jax.lax.dot_general(
-            xn, wg_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) + bg_ref[...].astype(jnp.float32)
-        sig = jax.nn.sigmoid(gates)  # (sp, heads) f32
+    # norm + qkv + gates batched over the whole (gb·sp) slab: one large GEMM
+    # instead of gb small ones (the short-seq path was GEMM-bound, not
+    # attention-bound)
+    x_all = x_ref[...].reshape(gb * sp, d)
+    xf = x_all.astype(jnp.float32)
+    nrm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    xn = ((xf * (d ** 0.5) / jnp.maximum(nrm, 1e-12))
+          .astype(x_all.dtype) * gamma_ref[...])
+    qkv_scr[...] = jax.lax.dot_general(
+        xn, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_all.dtype)
+    gates = jax.lax.dot_general(
+        xn, wg_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bg_ref[...].astype(jnp.float32)
+    sig = jax.nn.sigmoid(gates)  # (gb·sp, heads) f32
 
-        head_outs = []
+    def one_seq(bi, _):
         for h in range(heads):
-            q = qkv[:, h * dh:(h + 1) * dh]
-            k = qkv[:, (heads + h) * dh:(heads + h + 1) * dh]
-            v = qkv[:, (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
+            q = qkv_scr[pl.dslice(bi * sp, sp), h * dh:(h + 1) * dh]
+            k = qkv_scr[pl.dslice(bi * sp, sp),
+                        (heads + h) * dh:(heads + h + 1) * dh]
+            v = qkv_scr[pl.dslice(bi * sp, sp),
+                        (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
             if use_rope:
                 q = q * cos + jax.lax.dot(
                     q, jm, preferred_element_type=jnp.float32).astype(q.dtype) * sin
@@ -305,19 +313,25 @@ def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
             p = jax.nn.softmax(s, axis=-1)
             o = jax.lax.dot(p.astype(v.dtype), v,
                             preferred_element_type=jnp.float32)
-            o = o * sig[:, h][:, None]
-            head_outs.append(o.astype(xx.dtype))
-        ao = jnp.concatenate(head_outs, axis=-1)  # (sp, h·dh)
-        out = jax.lax.dot_general(
-            ao, wo_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[bi] = out.astype(o_ref.dtype) + xx  # residual folded in
+            ao_scr[pl.dslice(bi * sp, sp),
+                   h * dh:(h + 1) * dh] = o.astype(ao_scr.dtype)
         return 0
 
     if gb == 1:
         one_seq(0, None)
     else:
         jax.lax.fori_loop(0, gb, one_seq, 0)
+
+    # per-head gating via the block-ones expansion matmul (Mosaic supports
+    # neither 3D reshapes nor dynamic_slice on values in this kernel type);
+    # sig @ E copies each head's gate across its dh output columns exactly
+    expand = jax.lax.dot(sig, ge_ref[...].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    ao = ao_scr[...] * expand.astype(ao_scr.dtype)
+    out = jax.lax.dot_general(
+        ao, wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = (out.astype(o_ref.dtype) + x_all).reshape(gb, sp, d)
 
 
 def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
@@ -353,6 +367,10 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
         cos = sin = jnp.zeros((sp, dh), x.dtype)
         jm = jnp.zeros((dh, dh), x.dtype)
 
+    # gate-expansion matrix: E[h, h*dh:(h+1)*dh] = 1
+    ge = jnp.asarray(np.repeat(np.eye(heads, dtype=np.float32), dh, axis=1),
+                     dtype=x.dtype)
+
     def const(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
@@ -365,16 +383,19 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
         grid=(bp // gb,),
         in_specs=[stream, const((d,)), const(wqkv.shape), const(wg.shape),
                   const(bg.shape), const(wo.shape), const((sp, dh)),
-                  const((sp, dh)), const((dh, dh))],
+                  const((sp, dh)), const((dh, dh)),
+                  const((heads, heads * dh))],
         out_specs=stream,
         out_shape=jax.ShapeDtypeStruct((bp, sp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((gb * sp, wqkv.shape[0]), x.dtype),
+                        pltpu.VMEM((gb * sp, heads * dh), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * sp * (d * 4 * heads * dh + 2 * sp * heads * dh),
             bytes_accessed=2 * bp * sp * d * x.dtype.itemsize,
             transcendentals=bp * heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, gamma, wqkv, wg, bg, wo, cos, sin, jm)
+    )(x, gamma, wqkv, wg, bg, wo, cos, sin, jm, ge)
     return out[:b, :n]
 
 

@@ -87,6 +87,14 @@ def _windows(spec: DemixSpec) -> np.ndarray:
     return np.stack([base, first, last]).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=16)
+def _windows_device(spec: DemixSpec) -> jax.Array:
+    """Device-resident blend windows, uploaded once per spec (the (3, chunk)
+    f32 stack is ~4 MB — a real cost per call on the ~50 MB/s link). Safe to
+    cache across jit traces: created eagerly, never a tracer."""
+    return jnp.asarray(_windows(spec))
+
+
 def _process_batch(
     model_apply: ModelApply,
     spec: DemixSpec,
@@ -292,7 +300,7 @@ def demix(
     mix_buf = jnp.pad(mix_dev, ((0, 0), (0, l_buf - length)))
     result = jnp.zeros((spec.num_stems, spec.num_channels, l_buf), dtype=jnp.float32)
     counter = jnp.zeros((l_buf,), dtype=jnp.float32)
-    windows = jnp.asarray(_windows(spec))
+    windows = _windows_device(spec)
     length_a = jnp.asarray(length, dtype=jnp.int32)
     n_chunks_a = jnp.asarray(n_chunks, dtype=jnp.int32)
 

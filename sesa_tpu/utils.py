@@ -56,11 +56,21 @@ def get_model_from_config(model_type: str, config_path: str) -> Tuple[ModelBundl
     return bundle, config
 
 
-def load_start_checkpoint(bundle: ModelBundle, checkpoint_path: str) -> None:
-    """Load + convert a torch checkpoint into the bundle (utils.py:585-613)."""
+def load_start_checkpoint(bundle: ModelBundle, checkpoint_path: str,
+                          lora_checkpoint: str = "") -> None:
+    """Load + convert a torch checkpoint into the bundle (utils.py:585-613).
+
+    ``lora_checkpoint`` merges LoRA deltas into the base state dict before
+    conversion (the reference's load_lora_weights / bind_lora_to_model
+    pair, utils.py:614-671)."""
     from sesa_tpu.convert import convert_checkpoint, load_torch_state_dict
 
-    sd = load_torch_state_dict(checkpoint_path)
+    if lora_checkpoint:
+        from sesa_tpu.convert.lora import load_with_lora
+
+        sd = load_with_lora(checkpoint_path, lora_checkpoint)
+    else:
+        sd = load_torch_state_dict(checkpoint_path)
     bundle.params = convert_checkpoint(bundle.model_type, sd, bundle.config)
 
 
