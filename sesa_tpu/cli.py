@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_ids", nargs="+", type=int, default=[0])
     p.add_argument("--optimize_mode", type=str, default="default")
     p.add_argument("--enable_amp", action="store_true", default=True)
+    # accepted for drop-in compatibility with the reference CLI; CUDA-only
+    # knobs have no TPU equivalent (bf16 policy covers AMP/TF32)
+    p.add_argument("--enable_tf32", action="store_true", default=True)
+    p.add_argument("--enable_cudnn_benchmark", action="store_true", default=True)
     p.add_argument("--lora_checkpoint", type=str, default="")
     return p
 

@@ -143,7 +143,8 @@ def attention_apply_residual(p, x, heads, rope=None, precision=_HIGHEST):
     Pallas kernel — the qkv tensor and normed activations never touch HBM."""
     n, dim = x.shape[-2:]
     dim_head = p["qkv_w"].shape[0] // (3 * heads)
-    if "vr_mix_w" not in p and _use_fused(n, dim_head, heads):
+    if "vr_mix_w" not in p and _use_fused(n, dim_head, heads, dim,
+                                          dtype=x.dtype):
         out = fused_attention_block(
             x.reshape(-1, n, dim), p["norm_gamma"], p["qkv_w"], p["gates_w"],
             p["gates_b"], p["out_w"], heads, dim_head ** -0.5, rope=rope)

@@ -317,8 +317,12 @@ def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
                    h * dh:(h + 1) * dh] = o.astype(ao_scr.dtype)
         return 0
 
-    if gb == 1:
-        one_seq(0, None)
+    if gb <= 4:
+        # static unroll: Mosaic pipelines the small per-sequence dots far
+        # better than a fori_loop; bounded so unrolled temporaries stay
+        # within scoped vmem
+        for bi in range(gb):
+            one_seq(bi, None)
     else:
         jax.lax.fori_loop(0, gb, one_seq, 0)
 
@@ -348,8 +352,10 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
 
     b, n, d = x.shape
     dh = wqkv.shape[0] // (3 * heads)
-    sp = n + (-n) % 128
-    gb = max(1, 1024 // sp)
+    # pad to 64, not 128: at seq 62 a 128-pad would double every projection
+    # and attention FLOP; Mosaic masks sub-128 lane tails itself
+    sp = n + (-n) % 64
+    gb = min(4, max(1, 1024 // sp))
     bp = b + (-b) % gb
     if sp != n or bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
@@ -399,13 +405,19 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
     return out[:b, :n]
 
 
-def _use_fused(seq: int, dim_head: int, heads: int) -> bool:
+def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
+               dtype=None) -> bool:
     # VMEM budget: one program holds gb·(sp·3·h·dh input + sp·h·dh out)
     # bf16 plus an (sp, sp) f32 score tile; the shapes this serves
     # (seq<=2048, h·dh<=1024) stay under ~10 MB.
     if not (8 <= seq <= _PALLAS_MAX_SEQ) or dim_head > 128 or dim_head < 8:
         return False
     if heads * dim_head > 1024 or dim_head % 8:
+        return False
+    if dim % 64:  # keep model-dim lanes MXU-tileable; odd dims fall back
+        return False
+    if dtype is not None and dtype != jnp.bfloat16:
+        # f32 parity mode keeps the unfused HIGHEST-precision path
         return False
     try:
         return jax.devices()[0].platform != "cpu"

@@ -41,7 +41,7 @@ def _ff_kernel(x_ref, gamma_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype) + x  # residual folded in
 
 
-def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, tile=256, interpret=False):
+def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, tile=1024, interpret=False):
     """rms_norm -> linear -> tanh-GELU -> linear -> +x over (tokens, dim).
 
     Weights stay in torch (out_features, in_features) layout. The tanh
