@@ -231,6 +231,31 @@ def _bucket_length(l_buf: int, chunk: int) -> int:
     return 1 << (base - 1).bit_length()
 
 
+@functools.lru_cache(maxsize=32)
+def _shard_mapped(model_apply: ModelApply, mesh) -> ModelApply:
+    """Wrap the model in shard_map over the mesh's data axis.
+
+    Explicitly-local execution (not GSPMD constraints) is required here:
+    the fused Pallas kernels are opaque custom calls the SPMD partitioner
+    cannot split, but under shard_map each shard runs them on its local
+    chunk slice. Params are replicated; the chunk batch shards on dim 0.
+    Cached so repeated demix() calls reuse one wrapper (the demix jit is
+    keyed on the model_apply object).
+    """
+    P = jax.sharding.PartitionSpec
+    try:
+        from jax import shard_map
+
+        return shard_map(model_apply, mesh=mesh,
+                         in_specs=(P(), P("data")), out_specs=P("data"))
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(model_apply, mesh=mesh,
+                         in_specs=(P(), P("data")), out_specs=P("data"),
+                         check_rep=False)
+
+
 @jax.jit
 def _int16_to_f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) * (1.0 / 32768.0)
@@ -306,6 +331,12 @@ def demix(
 
     batch_sharding = None
     if mesh is not None:
+        data_size = mesh.shape.get("data", 1)
+        if spec.batch_size % data_size:
+            raise ValueError(
+                f"batch_size {spec.batch_size} must be divisible by the "
+                f"mesh data axis ({data_size}) for sharded demix")
+        model_apply = _shard_mapped(model_apply, mesh)
         batch_sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data", None, None)
         )

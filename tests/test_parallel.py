@@ -42,3 +42,32 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_demix_sharded_matches_single():
+    """demix(..., mesh=...) shard_maps the model over the data axis and
+    produces the same stems as the unsharded path."""
+    import numpy as np
+    from sesa_tpu.runtime import DemixSpec, demix
+
+    def model_apply(params, chunks):  # (B, ch, C) -> (B, 1, ch, C)
+        return (chunks * params["g"])[:, None]
+
+    params = {"g": jax.numpy.float32(0.5)}
+    spec = DemixSpec(chunk_size=1000, num_overlap=2, batch_size=4,
+                     num_stems=1, num_channels=2)
+    mix = np.random.default_rng(0).standard_normal((2, 7000)).astype(np.float32)
+
+    ref = demix(model_apply, params, mix, spec)
+    mesh = make_mesh(8, model_parallel=2)  # data axis = 4, divides batch 4
+    got = demix(model_apply, params, mix, spec, mesh=mesh)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # indivisible batch is rejected with a clear error
+    bad = DemixSpec(chunk_size=1000, num_overlap=2, batch_size=3,
+                    num_stems=1, num_channels=2)
+    try:
+        demix(model_apply, params, mix, bad, mesh=mesh)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "divisible" in str(e)
