@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sesa_tpu.ops.stft import overlap_add
 from sesa_tpu.ops.windows import fade_window
 
 # model_apply(params, chunks[B, ch, C]) -> [B, S, ch, C]
@@ -143,18 +144,21 @@ def _process_batch(
     valid = (chunk_idx < n_chunks).astype(win.dtype)
     win = win * valid[:, None]
 
-    def accumulate(carry, xs):
-        result, counter = carry
-        start, o, w = xs  # (S, ch, C), (C,)
-        r_sl = jax.lax.dynamic_slice(
-            result, (0, 0, start), (result.shape[0], result.shape[1], c)
-        )
-        result = jax.lax.dynamic_update_slice(result, r_sl + o * w, (0, 0, start))
-        c_sl = jax.lax.dynamic_slice(counter, (start,), (c,))
-        counter = jax.lax.dynamic_update_slice(counter, c_sl + w, (start,))
-        return (result, counter), None
-
-    (result, counter), _ = jax.lax.scan(accumulate, (result, counter), (starts, out, win))
+    # batch-level OLA via static slice-adds, then ONE read-add-write into
+    # the global accumulators. (A per-chunk scan re-sliced the
+    # hundreds-of-MB result buffer B times per batch — on a 5-minute song
+    # that overhead halved the realtime factor.)
+    s_stems, ch = out.shape[1], out.shape[2]
+    lb = c + step * (b - 1)
+    ow = out * win[:, None, None, :]  # (B, S, ch, C)
+    ow = jnp.moveaxis(ow, 0, 2).reshape(s_stems * ch, b, c)
+    seg = overlap_add(ow, step).reshape(s_stems, ch, lb)
+    cseg = overlap_add(win[None], step)[0]  # (Lb,)
+    start0 = starts[0]
+    r_sl = jax.lax.dynamic_slice(result, (0, 0, start0), (s_stems, ch, lb))
+    result = jax.lax.dynamic_update_slice(result, r_sl + seg, (0, 0, start0))
+    c_sl = jax.lax.dynamic_slice(counter, (start0,), (lb,))
+    counter = jax.lax.dynamic_update_slice(counter, c_sl + cseg, (start0,))
     return result, counter
 
 
