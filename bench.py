@@ -26,6 +26,9 @@ try:  # persistent XLA compilation cache: first bench of a session is slow,
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    # the Pallas kernels embed caller tracebacks in MLIR locations, which
+    # destabilizes the cache key across otherwise-identical runs
+    jax.config.update("jax_traceback_in_locations_limit", 0)
 except Exception:
     pass
 

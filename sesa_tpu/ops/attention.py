@@ -208,9 +208,9 @@ def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
 
     b, n, packed = qkv.shape
     dh = packed // (3 * heads)
-    sp = n + (-n) % 128
+    sp = n + (-n) % 64  # 64-row padding: a 128 pad doubles short-seq FLOPs
     # short sequences group several per program to amortize grid overhead
-    gb = max(1, 1024 // sp)
+    gb = min(4, max(1, 1024 // sp))
     bp = b + (-b) % gb
     if sp != n or bp != b:
         qkv = jnp.pad(qkv, ((0, bp - b), (0, sp - n), (0, 0)))
