@@ -84,14 +84,22 @@ def forward(sd, kw, x, variant="lstm"):
     x = F.pad(x, (0, padding))
     lpad = x.shape[-1]
 
-    # the reference passes NO window to torch.stft (boxcar) — scnet.py:338
+    # lstm/tran pass NO window (boxcar) — scnet.py:338; masked uses hann
+    # (scnet_masked.py:293)
+    window = (torch.hann_window(kw["nfft"], periodic=True)
+              if variant == "masked" else None)
     z = torch.stft(x.reshape(-1, lpad), kw["nfft"], hop, win_length=kw["win_size"],
-                   center=True, normalized=kw["normalized"],
+                   window=window, center=True, normalized=kw["normalized"],
                    return_complex=True)
     z = torch.view_as_real(z)
     z = z.permute(0, 3, 1, 2).reshape(z.shape[0] // ch, z.shape[3] * ch,
                                       z.shape[1], z.shape[2])
     bb, cc, fr, t = z.shape
+
+    mixture = None
+    if variant == "masked":
+        mixture = z.repeat(1, len(kw["sources"]), 1, 1)
+        z = z + sd["pos_embed_f"][:, :, :fr, :]
 
     skips, lens, olens = [], [], []
     for i in range(len(dims) - 1):
@@ -160,10 +168,22 @@ def forward(sd, kw, x, variant="lstm"):
         z = torch.cat(outs, dim=2)
 
     n = dims[0]
-    z = z.view(bb, n, -1, fr, t).reshape(-1, 2, fr, t).permute(0, 2, 3, 1)
-    z = torch.view_as_complex(z.contiguous())
+    if variant == "masked":
+        m = F.conv2d(z, sd["mask_layer.0.weight"], sd["mask_layer.0.bias"],
+                     padding=1)
+        m = F.gelu(m)
+        m = F.conv2d(m, sd["mask_layer.2.weight"], sd["mask_layer.2.bias"])
+        m = torch.tanh(m)
+        mc = m.view(bb, n, -1, fr, t).reshape(-1, 2, fr, t).permute(0, 2, 3, 1)
+        mc = torch.view_as_complex(mc.contiguous())
+        xc = mixture.view(bb, n, -1, fr, t).reshape(-1, 2, fr, t).permute(0, 2, 3, 1)
+        xc = torch.view_as_complex(xc.contiguous())
+        z = xc * mc
+    else:
+        z = z.view(bb, n, -1, fr, t).reshape(-1, 2, fr, t).permute(0, 2, 3, 1)
+        z = torch.view_as_complex(z.contiguous())
     wav = torch.istft(z, kw["nfft"], hop, win_length=kw["win_size"],
-                      center=True, normalized=kw["normalized"])
+                      window=window, center=True, normalized=kw["normalized"])
     wav = wav.reshape(bb, len(kw["sources"]), ch, -1)
     return wav[:, :, :, :-padding]
 

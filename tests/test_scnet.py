@@ -246,3 +246,33 @@ def test_scnet_tran_converter_round_trip():
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_scnet_masked_matches_torch_oracle():
+    from tests.oracles import torch_scnet
+    from sesa_tpu.models import scnet_masked
+
+    kw = tiny_kwargs()
+    config = ConfigDict({"model": kw})
+    params = scnet_masked.init(jax.random.PRNGKey(9), config)
+    sd = export_state_dict(params, kw)
+    sd["pos_embed_f"] = torch.from_numpy(np.asarray(params["pos_embed_f"]).copy())
+    sd["mask_layer.0.weight"] = torch.from_numpy(
+        np.asarray(params["mask_conv1"]["weight"]).copy())
+    sd["mask_layer.0.bias"] = torch.from_numpy(
+        np.asarray(params["mask_conv1"]["bias"]).copy())
+    sd["mask_layer.2.weight"] = torch.from_numpy(
+        np.asarray(params["mask_conv2"]["weight"]).copy())
+    sd["mask_layer.2.bias"] = torch.from_numpy(
+        np.asarray(params["mask_conv2"]["bias"]).copy())
+
+    x = np.random.default_rng(10).standard_normal((1, 2, 6000)).astype(np.float32) * 0.1
+    ref = torch_scnet.forward(sd, kw, torch.from_numpy(x), variant="masked").numpy()
+    got = np.asarray(scnet_masked.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=4e-4)
+
+    conv = scnet.convert_torch(sd, config, variant="masked")
+    flat_a, flat_b = jax.tree.leaves(params), jax.tree.leaves(conv)
+    assert len(flat_a) == len(flat_b)
+    for a, b2 in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2))
