@@ -93,9 +93,9 @@ def main():
     demix(model_apply, params, mix, spec)
     compile_s = time.time() - t0
 
-    # timed runs
+    # timed runs (best-of-5: relay wall times swing ~10% run to run)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         out = demix(model_apply, params, mix, spec)
         times.append(time.time() - t0)
