@@ -34,3 +34,17 @@ def export_model(model_type: str, config, params, chunk_size: int,
         with open(path, "wb") as f:
             f.write(blob)
     return blob
+
+
+def load_exported(blob: bytes):
+    """Deserialize an exported model into a callable ``fn(params, chunks)``
+    (the load half of the reference's save/load optimized-model pair,
+    pytorch_backend.py:281-333). Accepts the bytes from
+    :func:`export_model` or a path to them."""
+    from jax import export as jexport
+
+    if isinstance(blob, str):
+        with open(blob, "rb") as f:
+            blob = f.read()
+    exported = jexport.deserialize(bytearray(blob))
+    return exported.call

@@ -65,3 +65,15 @@ def test_export_stablehlo():
     params = mdx23c.init(jax.random.PRNGKey(0), config)
     blob = export_model("mdx23c", config, params, chunk_size=8064)
     assert isinstance(blob, bytes) and len(blob) > 1000
+
+    # round trip: the deserialized callable reproduces the direct forward
+    import numpy as np
+
+    from sesa_tpu.convert.export import load_exported
+
+    fn = load_exported(blob)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 2, 8064)).astype(np.float32) * 0.1)
+    got = np.asarray(fn(params, x))
+    ref = np.asarray(mdx23c.apply(params, config, x))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
