@@ -187,6 +187,11 @@ def init(rng, config):
 
     # cross transformer
     dim = kw["channels"] * kw["growth"] ** (kw["depth"] - 1)
+    tr_ch = dim
+    if kw["bottom_channels"]:
+        # 1x1 channel up/downsamplers around the transformer
+        # (reference demucs4ht.py:376-387, 620-634)
+        dim = kw["bottom_channels"]
     heads = kw["t_heads"]
     hidden = int(kw["t_hidden_scale"] * dim)
 
@@ -223,6 +228,15 @@ def init(rng, config):
         ct["layers"].append(t_layer(cross))
         ct["layers_t"].append(t_layer(cross))
     params["crosstransformer"] = ct
+    if kw["bottom_channels"]:
+        def conv1(ci, co):
+            return {"weight": L.kaiming_uniform(next(keys), (co, ci, 1), ci),
+                    "bias": jnp.zeros((co,))}
+
+        params["channel_upsampler"] = conv1(tr_ch, dim)
+        params["channel_downsampler"] = conv1(dim, tr_ch)
+        params["channel_upsampler_t"] = conv1(tr_ch, dim)
+        params["channel_downsampler_t"] = conv1(dim, tr_ch)
     return params
 
 
@@ -501,9 +515,19 @@ def apply(params, config, mix, precision=None):
 
     # ---- cross transformer ----
     ct = params["crosstransformer"]
+    if kw["bottom_channels"]:
+        # 1x1 channel upsamplers ahead of the transformer
+        # (reference demucs4ht.py:620-625)
+        bb, c0, fr0, t0 = x.shape
+        x = L.conv1d(x.reshape(bb, c0, fr0 * t0),
+                     params["channel_upsampler"]["weight"],
+                     params["channel_upsampler"]["bias"], precision=precision)
+        x = x.reshape(bb, -1, fr0, t0)
+        xt = L.conv1d(xt, params["channel_upsampler_t"]["weight"],
+                      params["channel_upsampler_t"]["bias"],
+                      precision=precision)
     bb, cc, fr, t1 = x.shape
     pos2d = _sin_embedding_2d(cc, fr, t1, kw["t_max_period"])
-    tok = jnp.transpose(x.reshape(bb, cc, fr * t1), (0, 2, 1))
     # token order must be (t1, fr): rearrange 'b c fr t1 -> b (t1 fr) c'
     tok = jnp.transpose(x, (0, 3, 2, 1)).reshape(bb, t1 * fr, cc)
     pos_tok = jnp.transpose(pos2d, (0, 3, 2, 1)).reshape(1, t1 * fr, cc)
@@ -528,6 +552,15 @@ def apply(params, config, mix, precision=None):
 
     x = jnp.transpose(tok.reshape(bb, t1, fr, cc), (0, 3, 2, 1))
     xt = jnp.swapaxes(tokt, 1, 2)
+    if kw["bottom_channels"]:
+        # back down to the encoder channel count (reference :630-634)
+        x = L.conv1d(x.reshape(bb, cc, fr * t1),
+                     params["channel_downsampler"]["weight"],
+                     params["channel_downsampler"]["bias"],
+                     precision=precision).reshape(bb, -1, fr, t1)
+        xt = L.conv1d(xt, params["channel_downsampler_t"]["weight"],
+                      params["channel_downsampler_t"]["bias"],
+                      precision=precision)
 
     # ---- decoders ----
     s_src = len(kw["sources"])
@@ -700,6 +733,10 @@ def convert_torch(state_dict, config):
                 lp["norm3"] = wb(f"{pfx}.norm3")
             ct[store].append(lp)
     params["crosstransformer"] = ct
+    if kw["bottom_channels"]:
+        for name in ("channel_upsampler", "channel_downsampler",
+                     "channel_upsampler_t", "channel_downsampler_t"):
+            params[name] = wb(name)
 
     unused = set(sd) - used
     if unused:

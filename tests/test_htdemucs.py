@@ -79,3 +79,18 @@ def test_forward_softmask_mode():
     out = htdemucs.apply(params, config, jnp.asarray(x))
     assert out.shape == (1, 4, 2, t)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_bottom_channels():
+    """bottom_channels: 1x1 channel up/downsamplers around the transformer
+    (all released htdemucs checkpoints use 512; reference :376-387,620-634)."""
+    config = tiny_config()
+    config.htdemucs.update(bottom_channels=96)
+    params = htdemucs.init(jax.random.PRNGKey(3), config)
+    assert "channel_upsampler" in params
+    assert params["crosstransformer"]["layers"][0]["gamma_1"].shape == (96,)
+    t = 512 * 64
+    x = np.random.default_rng(3).standard_normal((1, 2, t)).astype(np.float32) * 0.1
+    out = htdemucs.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
