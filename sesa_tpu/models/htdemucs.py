@@ -4,9 +4,10 @@ Behavioral spec: reference models/demucs4ht.py:28-713 (top-level forward,
 STFT conventions, normalization, CaC masking, branch merge logic are all
 in-repo); the layer modules (HEncLayer/HDecLayer/DConv/LayerScale/
 ScaledEmbedding/CrossTransformerEncoder) follow the demucs-v4 architecture
-those checkpoints were trained with. Only ``cac=True`` output (complex as
-channels) is supported — every published htdemucs checkpoint uses it;
-Wiener-filter output mode raises.
+those checkpoints were trained with. Output modes: ``cac=True``
+(complex-as-channels, what every published checkpoint uses) and
+``cac=False`` magnitude models via Wiener EM filtering or the mix-phase
+soft mask (``wiener_iters < 0``).
 
 Pipeline: reflect-padded STFT (hop = nfft/4, trimmed so frames align with
 the time branch strides) → CaC channels, per-sample normalization → four
@@ -140,11 +141,12 @@ def init(rng, config):
             return p
         if norm:
             p["norm1"] = _norm_p(co)
-        ctx = kw["context_enc"]
-        rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
-        p["rewrite"] = conv(co, 2 * co, rk)
-        if norm:
-            p["norm2"] = _norm_p(2 * co)
+        if kw["rewrite"]:
+            ctx = kw["context_enc"]
+            rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+            p["rewrite"] = conv(co, 2 * co, rk)
+            if norm:
+                p["norm2"] = _norm_p(2 * co)
         if kw["dconv_mode"] & 1:
             p["dconv"] = dconv(co)
         return p
@@ -156,11 +158,12 @@ def init(rng, config):
             p["norm2"] = _norm_p(co)
         if empty:
             return p
-        ctx = kw["context"]
-        rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
-        p["rewrite"] = conv(ci, 2 * ci, rk)
-        if norm:
-            p["norm1"] = _norm_p(2 * ci)
+        if kw["rewrite"]:
+            ctx = kw["context"]
+            rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+            p["rewrite"] = conv(ci, 2 * ci, rk)
+            if norm:
+                p["norm1"] = _norm_p(2 * ci)
         if kw["dconv_mode"] & 2:
             p["dconv"] = dconv(ci)
         return p
@@ -669,8 +672,10 @@ def convert_torch(state_dict, config):
             return p
         if norm:
             p["norm1"] = wb(f"{prefix}.norm1")
-            p["norm2"] = wb(f"{prefix}.norm2")
-        p["rewrite"] = wb(f"{prefix}.rewrite")
+        if f"{prefix}.rewrite.weight" in sd:
+            p["rewrite"] = wb(f"{prefix}.rewrite")
+            if norm:
+                p["norm2"] = wb(f"{prefix}.norm2")
         if f"{prefix}.dconv.layers.0.0.weight" in sd:
             p["dconv"] = dconv(f"{prefix}.dconv")
         return p
