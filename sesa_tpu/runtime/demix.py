@@ -265,6 +265,11 @@ def _int16_to_f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) * (1.0 / 32768.0)
 
 
+@jax.jit
+def _apply_affine(x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
+    return (x - mean) / std
+
+
 def _upload_mix(mix: np.ndarray) -> jax.Array:
     """Host->device transfer of the mix, halved when lossless.
 
@@ -298,11 +303,17 @@ def demix(
     mesh: Optional[jax.sharding.Mesh] = None,
     progress_cb: Optional[Callable[[float], None]] = None,
     seg_batches: int = _SEG_BATCHES,
+    affine: Optional[tuple] = None,
 ) -> np.ndarray:
     """Separate ``mix`` (channels, T) into ``(num_stems, channels, T)`` stems.
 
     ``model_apply(params, chunks[B, ch, C]) -> [B, S, ch, C]`` must be a pure
     jax function (it is traced under jit, once per DemixSpec).
+
+    ``affine=(mean, std)`` normalizes the mix ON DEVICE as (x - mean)/std
+    after upload — callers with normalize-enabled configs pass the raw
+    audio (which stays int16-exact for the halved-bytes transfer) plus its
+    host-computed stats, instead of uploading pre-normalized float32.
     """
     mix = np.asarray(mix, dtype=np.float32)
     assert mix.ndim == 2, f"mix must be (channels, T), got {mix.shape}"
@@ -324,6 +335,9 @@ def demix(
     # on device (the relay link is ~50 MB/s — padding host-side costs real
     # seconds of upload on long songs)
     mix_dev = _upload_mix(mix)
+    if affine is not None:
+        mix_dev = _apply_affine(mix_dev, jnp.float32(affine[0]),
+                                jnp.float32(affine[1]))
     if padded:
         mix_dev = jnp.pad(mix_dev, ((0, 0), (border, border)), mode="reflect")
     mix_buf = jnp.pad(mix_dev, ((0, 0), (0, l_buf - length)))
@@ -388,6 +402,11 @@ def apply_tta(
     """
     swapped = demix(model_apply, params, mix[::-1].copy(), spec, **demix_kwargs)
     stems = stems + swapped[:, ::-1]
-    inverted = demix(model_apply, params, -mix, spec, **demix_kwargs)
+    inv_kwargs = dict(demix_kwargs)
+    if inv_kwargs.get("affine") is not None:
+        # -((x - m)/s) == ((-x) - (-m))/s: negate the raw mix, flip the mean
+        m, s = inv_kwargs["affine"]
+        inv_kwargs["affine"] = (-m, s)
+    inverted = demix(model_apply, params, -mix, spec, **inv_kwargs)
     stems = stems - inverted
     return stems / 3.0

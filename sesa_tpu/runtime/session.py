@@ -160,12 +160,17 @@ class InferenceSession:
 
         cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
         norm = None
+        affine = None
         if bool((cfg.get("inference", {}) or {}).get("normalize", False)):
-            mix, norm = normalize_audio(mix)
+            # stats on host, scaling on device: the raw mix stays
+            # int16-exact so the halved-bytes upload path still applies
+            mono = mix.mean(0)
+            norm = {"mean": float(mono.mean()), "std": float(mono.std())}
+            affine = (norm["mean"], norm["std"])
 
         apply_fn = self._model_apply()
         stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
-                      progress_cb=progress_cb)
+                      progress_cb=progress_cb, affine=affine)
         if self.compute_dtype is not None and not np.isfinite(stems).all():
             # runtime fallback, analog of the reference's compiled->eager
             # rescue (pytorch_backend.py:315-332): retry in full f32
@@ -173,10 +178,10 @@ class InferenceSession:
             self.compute_dtype = None
             apply_fn = self._model_apply()
             stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
-                          progress_cb=progress_cb)
+                          progress_cb=progress_cb, affine=affine)
         if use_tta:
             stems = apply_tta(apply_fn, self.params, mix, stems, self.spec,
-                              mesh=self.mesh)
+                              mesh=self.mesh, affine=affine)
 
         out = {}
         for i, name in enumerate(self.instruments):

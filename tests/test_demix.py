@@ -173,3 +173,26 @@ def test_upload_mix_int16_exactness():
     # out-of-range samples (clipping-hot masters) also fall back
     hot = as_f32 * 1.5
     np.testing.assert_array_equal(np.asarray(_upload_mix(hot)), hot)
+
+
+def test_affine_matches_host_normalization():
+    """demix(raw, affine=(m, s)) == demix((raw - m)/s) exactly, and the TTA
+    wrapper flips the mean for the polarity-inverted augmentation."""
+    from sesa_tpu.runtime.demix import DemixSpec, apply_tta, demix
+
+    def model_apply(params, chunks):
+        return (chunks * params["g"] + 0.1 * chunks[:, ::-1])[:, None]
+
+    params = {"g": jnp.float32(0.7)}
+    spec = DemixSpec(chunk_size=1000, num_overlap=2, batch_size=2, num_stems=1)
+    mix = np.random.default_rng(3).standard_normal((2, 5000)).astype(np.float32)
+    m, s = float(mix.mean()), float(mix.std())
+
+    host = demix(model_apply, params, (mix - m) / s, spec)
+    dev = demix(model_apply, params, mix, spec, affine=(m, s))
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+    base_host = demix(model_apply, params, (mix - m) / s, spec)
+    tta_host = apply_tta(model_apply, params, (mix - m) / s, base_host, spec)
+    tta_dev = apply_tta(model_apply, params, mix, dev, spec, affine=(m, s))
+    np.testing.assert_allclose(tta_dev, tta_host, atol=1e-5)
