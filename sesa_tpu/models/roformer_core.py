@@ -220,8 +220,48 @@ def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
     NO explicit residual adds around attn/ff (hyper connections own the
     residual stream); with None it falls back to the standard residual form.
     """
+    n, dim = x.shape[-2:]
+    p0 = params["layers"][0]["attn"]
+    dim_head = p0["qkv_w"].shape[0] // (3 * heads)
+    # the fused kernel threads V in (b, n, h·dh) layout while the legacy
+    # path uses (b, h, n, dh). Eligibility depends only on shapes/dtype,
+    # which are identical for every stack of one model run — so the
+    # caller's cross-layer value_residual threading never mixes layouts.
+    # (The first stack has no vr_mix_w — lucidrains creates the mix
+    # projection only for non-first layers.)
+    fused = _use_fused(n, dim_head, heads, dim, dtype=x.dtype)
+
     first_values = None
-    if value_residual is not None:
+    if fused:
+        shape = x.shape
+        xb = x.reshape(-1, n, dim)
+        vres = (None if value_residual is None
+                else value_residual.reshape(-1, n, heads * dim_head))
+        for layer in params["layers"]:
+            p = layer["attn"]
+            has_mix = "vr_mix_w" in p
+            if has_mix:
+                assert vres is not None
+            out, next_values = fused_attention_block(
+                xb, p["norm_gamma"], p["qkv_w"], p["gates_w"], p["gates_b"],
+                p["out_w"], heads, dim_head ** -0.5, rope=rope,
+                vr=(p.get("vr_mix_w"), p.get("vr_mix_b"),
+                    vres if has_mix else None),
+                add_residual=vres is None)
+            if first_values is None:
+                first_values = next_values
+            xb = out
+            if vres is None:
+                # old-style forward: explicit residuals around attn/ff
+                x = ff_apply_residual(layer["ff"], xb.reshape(shape),
+                                      precision=precision)
+            else:
+                x = ff_apply(layer["ff"], xb.reshape(shape),
+                             precision=precision)
+            xb = x.reshape(-1, n, dim)
+        x = xb.reshape(shape)
+        first_values = first_values.reshape(shape[:-1] + (heads * dim_head,))
+    elif value_residual is not None:
         for layer in params["layers"]:
             x, next_values = attention_apply(layer["attn"], x, heads, rope=rope,
                                              precision=precision,

@@ -264,11 +264,24 @@ def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
 # tensor and the (tokens, dim) normed activation never exist in HBM at all
 # (~4 GB of traffic per layer at production shapes).
 
-def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
-                       cos_ref, sin_ref, j_ref, ge_ref, o_ref,
-                       qkv_scr, ao_scr, *,
-                       scale, seq_len, heads, dh, gb, use_rope):
+def _attn_block_kernel(*refs, scale, seq_len, heads, dh, gb, use_rope,
+                       vr_mode=0, add_residual=True):
     from jax.experimental import pallas as pl
+
+    # vr_mode 0: standard block. 1: also emit the pre-mix V (first layer of
+    # a value-residual transformer). 2: additionally lerp V toward a given
+    # first-layer V with a learned per-head sigmoid mix (reference
+    # bs_roformer_experimental.py:111-135).
+    (x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
+     cos_ref, sin_ref, j_ref, ge_ref) = refs[:10]
+    rest = refs[10:]
+    if vr_mode == 2:
+        wvr_ref, bvr_ref, vres_ref = rest[:3]
+        rest = rest[3:]
+    if vr_mode:
+        o_ref, vout_ref, qkv_scr, ao_scr = rest
+    else:
+        o_ref, qkv_scr, ao_scr = rest
 
     sp, d = x_ref.shape[1], x_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
@@ -293,6 +306,22 @@ def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
         xn, wg_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) + bg_ref[...].astype(jnp.float32)
     sig = jax.nn.sigmoid(gates)  # (gb·sp, heads) f32
+
+    hd = heads * dh
+    if vr_mode:
+        # emit the pre-mix V for downstream layers
+        vout_ref[...] = qkv_scr[:, 2 * hd:3 * hd].reshape(gb, sp, hd)
+    if vr_mode == 2:
+        mix = jax.lax.dot_general(
+            xn, wvr_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bvr_ref[...].astype(jnp.float32)
+        mix = jax.nn.sigmoid(mix)  # (gs, heads)
+        mix_exp = jax.lax.dot(mix, ge_ref[...].astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        v_all = qkv_scr[:, 2 * hd:3 * hd].astype(jnp.float32)
+        vres = vres_ref[...].reshape(gb * sp, hd).astype(jnp.float32)
+        qkv_scr[:, 2 * hd:3 * hd] = (
+            v_all + (vres - v_all) * mix_exp).astype(x_all.dtype)
 
     def one_seq(bi, _):
         for h in range(heads):
@@ -335,15 +364,27 @@ def _attn_block_kernel(x_ref, gamma_ref, wqkv_ref, wg_ref, bg_ref, wo_ref,
     out = jax.lax.dot_general(
         ao, wo_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[...] = (out.astype(o_ref.dtype) + x_all).reshape(gb, sp, d)
+    out = out.astype(o_ref.dtype)
+    if add_residual:
+        out = out + x_all
+    o_ref[...] = out.reshape(gb, sp, d)
 
 
 def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
-                          rope=None, interpret=False):
+                          rope=None, interpret=False, vr=None,
+                          add_residual=True):
     """x (b, n, d) -> x + gated-attention(rms_norm(x)) in one kernel.
 
     Weights keep their torch (out_features, in_features) layouts:
     wqkv (3·h·dh, d), wg (heads, d), wo (d, h·dh); bg (heads,).
+
+    ``vr`` enables value-residual learning (reference
+    bs_roformer_experimental.py:111-135): pass ``(wvr, bvr, v_first)``
+    where wvr (heads, d) / bvr (heads,) are the mix projection and
+    v_first the first layer's V in (b, n, h·dh) layout (or None on the
+    first layer). Returns (out, v_pre_mix) instead of out, and
+    ``add_residual=False`` matches the new-style forward where hyper
+    connections own the residual stream.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -383,25 +424,52 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
 
     stream = pl.BlockSpec((gb, sp, d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    hd = heads * dh
+    vstream = pl.BlockSpec((gb, sp, hd), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    inputs = [x, gamma, wqkv, wg, bg, wo, cos, sin, jm, ge]
+    in_specs = [stream, const((d,)), const(wqkv.shape), const(wg.shape),
+                const(bg.shape), const(wo.shape), const((sp, dh)),
+                const((sp, dh)), const((dh, dh)), const((heads, hd))]
+    vr_mode = 0
+    if vr is not None:
+        wvr, bvr, v_first = vr
+        if v_first is None:
+            vr_mode = 1
+        else:
+            vr_mode = 2
+            if v_first.shape[0] != bp or v_first.shape[1] != sp:
+                v_first = jnp.pad(v_first, ((0, bp - v_first.shape[0]),
+                                            (0, sp - v_first.shape[1]),
+                                            (0, 0)))
+            inputs += [wvr, bvr, v_first]
+            in_specs += [const(wvr.shape), const(bvr.shape), vstream]
+    out_specs = stream if not vr_mode else (stream, vstream)
+    out_shape = (jax.ShapeDtypeStruct((bp, sp, d), x.dtype) if not vr_mode
+                 else (jax.ShapeDtypeStruct((bp, sp, d), x.dtype),
+                       jax.ShapeDtypeStruct((bp, sp, hd), x.dtype)))
+
     out = pl.pallas_call(
         functools.partial(_attn_block_kernel, scale=scale, seq_len=n,
-                          heads=heads, dh=dh, gb=gb, use_rope=use_rope),
+                          heads=heads, dh=dh, gb=gb, use_rope=use_rope,
+                          vr_mode=vr_mode, add_residual=add_residual),
         grid=(bp // gb,),
-        in_specs=[stream, const((d,)), const(wqkv.shape), const(wg.shape),
-                  const(bg.shape), const(wo.shape), const((sp, dh)),
-                  const((sp, dh)), const((dh, dh)),
-                  const((heads, heads * dh))],
-        out_specs=stream,
-        out_shape=jax.ShapeDtypeStruct((bp, sp, d), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((gb * sp, wqkv.shape[0]), x.dtype),
-                        pltpu.VMEM((gb * sp, heads * dh), x.dtype)],
+                        pltpu.VMEM((gb * sp, hd), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * sp * (d * 4 * heads * dh + 2 * sp * heads * dh),
             bytes_accessed=2 * bp * sp * d * x.dtype.itemsize,
             transcendentals=bp * heads * sp * sp,
         ),
         interpret=interpret,
-    )(x, gamma, wqkv, wg, bg, wo, cos, sin, jm, ge)
+    )(*inputs)
+    if vr_mode:
+        o, v_pre = out
+        return o[:b, :n], v_pre[:b, :n]
     return out[:b, :n]
 
 

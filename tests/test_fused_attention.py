@@ -99,3 +99,68 @@ def test_attention_block_matches_unfused(b, n, heads, dh, rot):
                            rope=rope)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=3e-5, rtol=2e-5)
+
+
+def test_attention_block_value_residual_modes():
+    """vr modes: emit pre-mix V (first layer) and lerp toward a given V
+    (later layers), matching the unfused value-residual path."""
+    from sesa_tpu.models import roformer_core as core
+    from sesa_tpu.ops.attention import fused_attention_block
+
+    rng = np.random.default_rng(11)
+    b, n, heads, dh = 2, 20, 2, 16
+    d = heads * dh
+    p = core.attention_init(jax.random.PRNGKey(4), d, heads, dh,
+                            value_residual=True)
+    x = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32) * 0.3)
+    rope = rope_tables(jnp.asarray(default_freqs(dh)), n)
+
+    # first layer (no mix projection in real models): residual applied,
+    # V emitted
+    p_first = {k: v for k, v in p.items() if not k.startswith("vr_")}
+    out1, v1 = fused_attention_block(
+        x, p["norm_gamma"], p["qkv_w"], p["gates_w"], p["gates_b"], p["out_w"],
+        heads, dh ** -0.5, rope=rope, interpret=True,
+        vr=(None, None, None), add_residual=True)
+    ref1, refv1 = core.attention_apply(p_first, x, heads, rope=rope,
+                                       return_values=True)
+    ref1 = ref1 + x
+    # legacy V layout (b, h, n, dh) -> (b, n, h·dh)
+    refv1 = jnp.transpose(refv1, (0, 2, 1, 3)).reshape(b, n, d)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(refv1),
+                               atol=2e-5, rtol=1e-4)
+
+    # later layer: lerp V toward v1, no residual (new-style forward)
+    out2, v2 = fused_attention_block(
+        x, p["norm_gamma"], p["qkv_w"], p["gates_w"], p["gates_b"], p["out_w"],
+        heads, dh ** -0.5, rope=rope, interpret=True,
+        vr=(p["vr_mix_w"], p["vr_mix_b"], v1), add_residual=False)
+    vres_legacy = jnp.transpose(
+        jnp.asarray(v1).reshape(b, n, heads, dh), (0, 2, 1, 3))
+    ref2, refv2 = core.attention_apply(p, x, heads, rope=rope,
+                                       value_residual=vres_legacy,
+                                       return_values=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_transformer_apply_vr_unchanged_on_cpu():
+    """CPU (fused gate off) still runs the legacy vr path end to end,
+    mirroring the real structure: the first stack has no mix projection,
+    later stacks mix with the first stack's V."""
+    from sesa_tpu.models import roformer_core as core
+
+    p_first = core.transformer_init(jax.random.PRNGKey(5), 32, 2, 2, 16,
+                                    value_residual=False)
+    p_later = core.transformer_init(jax.random.PRNGKey(6), 32, 2, 2, 16,
+                                    value_residual=True)
+    x = jnp.asarray(np.random.default_rng(12)
+                    .standard_normal((2, 10, 32)).astype(np.float32) * 0.3)
+    rope = rope_tables(jnp.asarray(default_freqs(16)), 10)
+    out, first_v = core.transformer_apply_vr(p_first, x, 2, rope=rope)
+    assert out.shape == x.shape and first_v is not None
+    out2, _ = core.transformer_apply_vr(p_later, out, 2, rope=rope,
+                                        value_residual=first_v)
+    assert np.isfinite(np.asarray(out2)).all()
