@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sesa_tpu.models.layers import kaiming_uniform, layer_norm, swish
-from sesa_tpu.ops.attention import sdpa
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 _MAX_POS_EMB = 512

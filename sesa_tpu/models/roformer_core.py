@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sesa_tpu.models.layers import kaiming_uniform, rms_norm
 from sesa_tpu.ops.attention import (_use_fused, fused_attention_block,

@@ -17,7 +17,6 @@ Shapes follow openunmix conventions with a trailing RI axis:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
