@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sesa_tpu.models import hyper_connections as HC
 from sesa_tpu.models import roformer_core as core
 from sesa_tpu.models.layers import rms_norm
 from sesa_tpu.ops import bands as B
@@ -66,6 +67,12 @@ class RoformerSpec:
     # roformer_experimental extensions
     value_residual: bool = False
     num_residual_streams: int = 1
+    # the experimental file's Transformer.forward threads value residuals
+    # across depth and drops explicit residual adds after the first depth
+    # layer EVEN when use_value_residual_learning is false (reference
+    # bs_roformer_experimental.py:239-258); experimental model types set
+    # this so that semantics apply regardless of the VR flag
+    experimental_forward: bool = False
 
     @property
     def audio_channels(self) -> int:
@@ -127,11 +134,6 @@ def spec_from_config(model_cfg: dict) -> RoformerSpec:
 def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = False,
                    final_norm: bool = True):
     plan = spec.band_plan()
-    if spec.num_residual_streams not in (1,):
-        raise NotImplementedError(
-            "hyper-connections (num_residual_streams > 1) are not supported; "
-            "no public checkpoint uses them — set num_residual_streams=1"
-        )
     keys = iter(jax.random.split(rng, 8 + 4 * spec.depth + spec.num_stems))
     layers = []
     for layer_index in range(spec.depth):
@@ -143,10 +145,12 @@ def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = Fals
                 spec.dim_head, norm_output=transformer_norm_output, linear_attn=True)
         layer["time"] = core.transformer_init(
             next(keys), spec.dim, spec.time_transformer_depth, spec.heads,
-            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr)
+            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr,
+            num_residual_streams=spec.num_residual_streams)
         layer["freq"] = core.transformer_init(
             next(keys), spec.dim, spec.freq_transformer_depth, spec.heads,
-            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr)
+            spec.dim_head, norm_output=transformer_norm_output, value_residual=vr,
+            num_residual_streams=spec.num_residual_streams)
         layers.append(layer)
 
     params = {
@@ -211,38 +215,49 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
         rope_freq = tuple(r.astype(compute_dtype) for r in rope_freq)
     xb = B.band_split_apply(plan, params["band_split"], net_in, precision=precision)
 
+    streams = spec.num_residual_streams
+    vr_forward = spec.value_residual or spec.experimental_forward or streams > 1
+    if streams > 1:
+        # expand residual streams once before the depth loop (reference
+        # bs_roformer_experimental.py:558-560)
+        xb = HC.expand_streams(xb, streams)
+
     store = []
     time_v_res = freq_v_res = None
     for layer in params["layers"]:
         if spec.skip_connection and store:
             xb = xb + sum(store)
         if "linear" in layer:
-            z = xb.reshape(b, tf * nb, spec.dim)
+            z = xb.reshape(-1, tf * nb, spec.dim)
             z = core.transformer_apply(layer["linear"], z, spec.heads,
                                        linear_attn=True, precision=precision)
-            xb = z.reshape(b, tf, nb, spec.dim)
+            xb = z.reshape(-1, tf, nb, spec.dim)
         # time transformer: sequence axis = frames
         z = jnp.transpose(xb, (0, 2, 1, 3))  # (B, NB, Tf, D)
-        if spec.value_residual:
+        if vr_forward:
             z, next_tv = core.transformer_apply_vr(
                 layer["time"], z, spec.heads, rope=rope_time,
-                value_residual=time_v_res, precision=precision)
+                value_residual=time_v_res, precision=precision, streams=streams)
             time_v_res = time_v_res if time_v_res is not None else next_tv
         else:
             z = core.transformer_apply(layer["time"], z, spec.heads,
                                        rope=rope_time, precision=precision)
         z = jnp.transpose(z, (0, 2, 1, 3))  # (B, Tf, NB, D)
         # freq transformer: sequence axis = bands
-        if spec.value_residual:
+        if vr_forward:
             xb, next_fv = core.transformer_apply_vr(
                 layer["freq"], z, spec.heads, rope=rope_freq,
-                value_residual=freq_v_res, precision=precision)
+                value_residual=freq_v_res, precision=precision, streams=streams)
             freq_v_res = freq_v_res if freq_v_res is not None else next_fv
         else:
             xb = core.transformer_apply(layer["freq"], z, spec.heads,
                                         rope=rope_freq, precision=precision)
         if spec.skip_connection:
             store.append(xb)
+
+    if streams > 1:
+        # sum-reduce the residual streams (reference :608-610)
+        xb = HC.reduce_streams(xb, streams)
 
     if "final_norm_gamma" in params:
         xb = rms_norm(xb, params["final_norm_gamma"])
@@ -329,10 +344,12 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
             j += 1
         layer["time"] = core.convert_transformer(
             take, f"layers.{d}.{j}", spec.time_transformer_depth,
-            norm_output=transformer_norm_output, value_residual=vr)
+            norm_output=transformer_norm_output, value_residual=vr,
+            num_residual_streams=spec.num_residual_streams)
         layer["freq"] = core.convert_transformer(
             take, f"layers.{d}.{j + 1}", spec.freq_transformer_depth,
-            norm_output=transformer_norm_output, value_residual=vr)
+            norm_output=transformer_norm_output, value_residual=vr,
+            num_residual_streams=spec.num_residual_streams)
         layers.append(layer)
 
     mask_estimators = []

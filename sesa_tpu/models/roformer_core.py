@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from sesa_tpu.models import hyper_connections as HC
 from sesa_tpu.models.layers import kaiming_uniform, rms_norm
 from sesa_tpu.ops.attention import (_use_fused, fused_attention_block,
                                     l2norm, sdpa)
@@ -65,7 +66,8 @@ def ff_init(rng, dim, mult):
 
 
 def transformer_init(rng, dim, depth, heads, dim_head, ff_mult=4,
-                     norm_output=False, linear_attn=False, value_residual=False):
+                     norm_output=False, linear_attn=False, value_residual=False,
+                     num_residual_streams=1):
     keys = jax.random.split(rng, depth * 2 + 1)
     layers = []
     for i in range(depth):
@@ -75,7 +77,15 @@ def transformer_init(rng, dim, depth, heads, dim_head, ff_mult=4,
             else attention_init(keys[2 * i], dim, heads, dim_head,
                                 value_residual=value_residual)
         )
-        layers.append({"attn": attn, "ff": ff_init(keys[2 * i + 1], dim, ff_mult)})
+        ff = ff_init(keys[2 * i + 1], dim, ff_mult)
+        if num_residual_streams > 1 and not linear_attn:
+            # hyper-connections wrap attn and ff (reference
+            # bs_roformer_experimental.py:219-228); LinearAttention stays bare
+            attn = {"hc": HC.hc_init(None, dim, num_residual_streams, 2 * i),
+                    "branch": attn}
+            ff = {"hc": HC.hc_init(None, dim, num_residual_streams, 2 * i + 1),
+                  "branch": ff}
+        layers.append({"attn": attn, "ff": ff})
     params = {"layers": layers}
     if norm_output:
         params["norm_gamma"] = jnp.ones((dim,))
@@ -210,8 +220,52 @@ def transformer_apply(params, x, heads, rope=None, linear_attn=False,
     return x
 
 
+def transformer_apply_hc(params, x, heads, rope=None, value_residual=None,
+                         precision=_HIGHEST, streams=2):
+    """Experimental transformer with hyper-connections (streams > 1).
+
+    x arrives with streams folded into the leading batch dims (the model
+    expands once before the depth loop, reference
+    bs_roformer_experimental.py:558-560). Replicates the reference
+    Transformer.forward exactly: first call per value-residual thread
+    (value_residual None) runs the "old weights" path with EXTRA explicit
+    residual adds on top of the hyper-connection writes; later calls let
+    the hyper-connections own the residual stream. Returns
+    (x, first_layer_values).
+    """
+    lead = x.shape[:-2]
+    n, dim = x.shape[-2:]
+    xb = x.reshape(-1, n, dim)
+    old_style = value_residual is None
+    first_values = None
+    for layer in params["layers"]:
+        pa, pf = layer["attn"], layer["ff"]
+
+        def attn_branch(bi, _pa=pa["branch"]):
+            return attention_apply(_pa, bi, heads, rope=rope,
+                                   precision=precision,
+                                   value_residual=value_residual,
+                                   return_values=True)
+
+        def ff_branch(bi, _pf=pf["branch"]):
+            return ff_apply(_pf, bi, precision=precision)
+
+        out, next_values = HC.hc_apply(pa["hc"], xb, streams, attn_branch)
+        if first_values is None:
+            first_values = next_values
+        if old_style:
+            xb = out + xb
+            xb = HC.hc_apply(pf["hc"], xb, streams, ff_branch) + xb
+        else:
+            xb = HC.hc_apply(pf["hc"], out, streams, ff_branch)
+    xb = xb.reshape(lead + (n, dim))
+    if "norm_gamma" in params:
+        xb = rms_norm(xb, params["norm_gamma"])
+    return xb, first_values
+
+
 def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
-                         precision=_HIGHEST):
+                         precision=_HIGHEST, streams=1):
     """Transformer with value-residual threading (reference
     bs_roformer_experimental.py:239-258). Returns (x, first_layer_values).
 
@@ -219,6 +273,10 @@ def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
     NO explicit residual adds around attn/ff (hyper connections own the
     residual stream); with None it falls back to the standard residual form.
     """
+    if streams > 1:
+        return transformer_apply_hc(params, x, heads, rope=rope,
+                                    value_residual=value_residual,
+                                    precision=precision, streams=streams)
     n, dim = x.shape[-2:]
     p0 = params["layers"][0]["attn"]
     dim_head = p0["qkv_w"].shape[0] // (3 * heads)
@@ -288,12 +346,17 @@ def transformer_apply_vr(params, x, heads, rope=None, value_residual=None,
 # --------------------------------------------------------------------------
 
 def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=False,
-                        value_residual=False):
+                        value_residual=False, num_residual_streams=1):
     """Convert one reference Transformer given a ``take(key)`` accessor."""
     layers = []
     for i in range(depth):
         a = f"{prefix}.layers.{i}.0"
         f = f"{prefix}.layers.{i}.1"
+        hc = num_residual_streams > 1 and not linear_attn
+        if hc:
+            # hyper-connection wrappers hold the branch under '.branch'
+            a_hc, f_hc = HC.hc_convert(take, a), HC.hc_convert(take, f)
+            a, f = f"{a}.branch", f"{f}.branch"
         if linear_attn:
             attn = {
                 "norm_gamma": take(f"{a}.norm.gamma"),
@@ -319,6 +382,9 @@ def convert_transformer(take, prefix, depth, norm_output=False, linear_attn=Fals
             "lin2_w": take(f"{f}.net.4.weight"),
             "lin2_b": take(f"{f}.net.4.bias"),
         }
+        if hc:
+            attn = {"hc": a_hc, "branch": attn}
+            ff = {"hc": f_hc, "branch": ff}
         layers.append({"attn": attn, "ff": ff})
     params = {"layers": layers}
     if norm_output:

@@ -50,10 +50,49 @@ def _attention(sd, p, x, heads, freqs=None, value_residual=None,
     return out
 
 
-def _transformer_vr(sd, prefix, x, depth, heads, freqs, value_residual):
+def _hyper_conn(sd, p, x, streams, branch):
+    """Hyper-connections wrapper (hyper_connections package semantics;
+    see sesa_tpu/models/hyper_connections.py for the layout spec)."""
+    bs, n, d = x.shape
+    r = x.reshape(bs // streams, streams, n, d).permute(0, 2, 1, 3)  # b n s d
+    gamma = sd[f"{p}.norm.gamma"]
+    normed = F.normalize(r, dim=-1) * (d ** 0.5) * (gamma + 1.0)
+    alpha = (torch.tanh(normed @ sd[f"{p}.dynamic_alpha_fn"])
+             * sd[f"{p}.dynamic_alpha_scale"] + sd[f"{p}.static_alpha"])
+    beta = (torch.tanh(normed @ sd[f"{p}.dynamic_beta_fn"])
+            * sd[f"{p}.dynamic_beta_scale"] + sd[f"{p}.static_beta"])
+    mix = torch.einsum("bnst,bnsd->bntd", alpha, r)
+    branch_in, resid = mix[..., 0, :], mix[..., 1:, :]
+    out = branch(branch_in)
+    extras = ()
+    if isinstance(out, tuple):
+        out, *extras = out
+    r2 = resid + out.unsqueeze(-2) * beta.unsqueeze(-1)
+    x2 = r2.permute(0, 2, 1, 3).reshape(bs, n, d)
+    return (x2, *extras) if extras else x2
+
+
+def _transformer_vr(sd, prefix, x, depth, heads, freqs, value_residual,
+                    streams=1):
     """Experimental-variant transformer (bs_roformer_experimental.py:239-258)."""
     first_values = None
-    if value_residual is not None:
+    if streams > 1:
+        for i in range(depth):
+            ap, fp = f"{prefix}.layers.{i}.0", f"{prefix}.layers.{i}.1"
+            out, nv = _hyper_conn(
+                sd, ap, x, streams,
+                lambda bi: _attention(sd, f"{ap}.branch", bi, heads, freqs,
+                                      value_residual=value_residual,
+                                      return_values=True))
+            first_values = first_values if first_values is not None else nv
+            if value_residual is None:
+                x = out + x
+                x = _hyper_conn(sd, fp, x, streams,
+                                lambda bi: _ff(sd, f"{fp}.branch", bi)) + x
+            else:
+                x = _hyper_conn(sd, fp, out, streams,
+                                lambda bi: _ff(sd, f"{fp}.branch", bi))
+    elif value_residual is not None:
         for i in range(depth):
             x, nv = _attention(sd, f"{prefix}.layers.{i}.0", x, heads, freqs,
                                value_residual=value_residual, return_values=True)
@@ -105,7 +144,7 @@ def _transformer(sd, prefix, x, depth, heads, freqs=None, norm_output=False,
 
 @torch.no_grad()
 def forward(sd, cfg, x, band_widths=None, freq_indices=None,
-            num_bands_per_freq=None, variant="bs"):
+            num_bands_per_freq=None, variant="bs", experimental=False):
     """x (B, ch, T) -> (B, S, ch, T) (S kept even when 1).
 
     For ``variant='bs'`` pass band_widths (complex-folded, contiguous).
@@ -158,7 +197,14 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
 
     tfr = sd["time_rotary_embed.freqs"]
     ffr = sd["freq_rotary_embed.freqs"]
+    streams = cfg.get("num_residual_streams", 1)
     value_residual = cfg.get("use_value_residual_learning", False)
+    vr_forward = value_residual or experimental or streams > 1
+
+    if streams > 1:
+        # expand_stream: repeat 'b ... -> (b s) ...'
+        z = z.repeat_interleave(streams, dim=0)
+    be = z.shape[0]  # batch after stream expansion
 
     store = []
     time_v = freq_v = None
@@ -167,31 +213,35 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
         if skip_connection and store:
             z = z + sum(store)
         if l_depth > 0:
-            zz = z.reshape(b, tf * nb, dim)
+            zz = z.reshape(be, tf * nb, dim)
             zz = _transformer(sd, f"layers.{d}.{j}", zz, l_depth, heads,
                               norm_output=norm_output, linear_attn=True)
-            z = zz.reshape(b, tf, nb, dim)
+            z = zz.reshape(be, tf, nb, dim)
             j += 1
-        zz = z.permute(0, 2, 1, 3).reshape(b * nb, tf, dim)
-        if value_residual:
+        zz = z.permute(0, 2, 1, 3).reshape(be * nb, tf, dim)
+        if vr_forward:
             zz, ntv = _transformer_vr(sd, f"layers.{d}.{j}", zz, t_depth, heads,
-                                      tfr, time_v)
+                                      tfr, time_v, streams=streams)
             time_v = time_v if time_v is not None else ntv
         else:
             zz = _transformer(sd, f"layers.{d}.{j}", zz, t_depth, heads, tfr,
                               norm_output=norm_output)
-        z = zz.reshape(b, nb, tf, dim).permute(0, 2, 1, 3)
-        zz = z.reshape(b * tf, nb, dim)
-        if value_residual:
+        z = zz.reshape(be, nb, tf, dim).permute(0, 2, 1, 3)
+        zz = z.reshape(be * tf, nb, dim)
+        if vr_forward:
             zz, nfv = _transformer_vr(sd, f"layers.{d}.{j + 1}", zz, f_depth,
-                                      heads, ffr, freq_v)
+                                      heads, ffr, freq_v, streams=streams)
             freq_v = freq_v if freq_v is not None else nfv
         else:
             zz = _transformer(sd, f"layers.{d}.{j + 1}", zz, f_depth, heads, ffr,
                               norm_output=norm_output)
-        z = zz.reshape(b, tf, nb, dim)
+        z = zz.reshape(be, tf, nb, dim)
         if skip_connection:
             store.append(z)
+
+    if streams > 1:
+        # reduce_stream: '(b s) ... -> b ...' sum
+        z = z.reshape(b, streams, tf, nb, dim).sum(1)
 
     if variant == "bs":
         z = rms_norm(z, sd["final_norm.gamma"])

@@ -74,10 +74,23 @@ def export_state_dict(params, spec, transformer_norm_output, final_norm):
             sd[f"band_split.to_features.{i}.1.weight"] = _t(gp["weight"][pos]).T.contiguous()
             sd[f"band_split.to_features.{i}.1.bias"] = _t(gp["bias"][pos])
 
+    def put_hc(prefix, hc):
+        sd[f"{prefix}.norm.gamma"] = _t(hc["norm_gamma"])
+        sd[f"{prefix}.static_alpha"] = _t(hc["static_alpha"])
+        sd[f"{prefix}.static_beta"] = _t(hc["static_beta"])
+        sd[f"{prefix}.dynamic_alpha_fn"] = _t(hc["dynamic_alpha_fn"])
+        sd[f"{prefix}.dynamic_alpha_scale"] = _t(hc["dynamic_alpha_scale"])
+        sd[f"{prefix}.dynamic_beta_fn"] = _t(hc["dynamic_beta_fn"])
+        sd[f"{prefix}.dynamic_beta_scale"] = _t(hc["dynamic_beta_scale"])
+
     def put_transformer(prefix, tp, linear_attn=False):
         for i, layer in enumerate(tp["layers"]):
             a, f = layer["attn"], layer["ff"]
             ap = f"{prefix}.layers.{i}.0"
+            if "hc" in a:
+                put_hc(ap, a["hc"])
+                a = a["branch"]
+                ap = f"{ap}.branch"
             if linear_attn:
                 sd[f"{ap}.norm.gamma"] = _t(a["norm_gamma"])
                 sd[f"{ap}.to_qkv.0.weight"] = _t(a["qkv_w"])
@@ -93,6 +106,10 @@ def export_state_dict(params, spec, transformer_norm_output, final_norm):
                     sd[f"{ap}.to_value_residual_mix.weight"] = _t(a["vr_mix_w"])
                     sd[f"{ap}.to_value_residual_mix.bias"] = _t(a["vr_mix_b"])
             fp = f"{prefix}.layers.{i}.1"
+            if "hc" in f:
+                put_hc(fp, f["hc"])
+                f = f["branch"]
+                fp = f"{fp}.branch"
             sd[f"{fp}.net.0.gamma"] = _t(f["norm_gamma"])
             sd[f"{fp}.net.1.weight"] = _t(f["lin1_w"])
             sd[f"{fp}.net.1.bias"] = _t(f["lin1_b"])
@@ -215,6 +232,79 @@ def test_bs_roformer_experimental_value_residual():
     back = exp.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def _randomize_hc(params, seed):
+    """HC params init mostly to zeros/identity; randomize so the dynamic
+    alpha/beta paths are actually exercised by parity tests."""
+    rng = np.random.default_rng(seed)
+
+    def rand_like(v):
+        return jnp.asarray(rng.standard_normal(np.shape(v)).astype(np.float32) * 0.3)
+
+    for layer in params["layers"]:
+        for t in ("time", "freq"):
+            for lay in layer[t]["layers"]:
+                for mod in ("attn", "ff"):
+                    lay[mod]["hc"] = {k: rand_like(v)
+                                      for k, v in lay[mod]["hc"].items()}
+    return params
+
+
+def test_bs_roformer_experimental_hyper_connections():
+    """Hyper-connections (num_residual_streams=4) + value residual vs oracle
+    (reference bs_roformer_experimental.py:213-228,558-610)."""
+    import dataclasses
+
+    from sesa_tpu.models import bs_roformer_experimental as exp
+
+    mcfg = bs_model_cfg(depth=2, use_value_residual_learning=True,
+                        num_residual_streams=4)
+    config = ConfigDict({"model": mcfg})
+    params = exp.init(jax.random.PRNGKey(5), config)
+    lay0 = params["layers"][0]["time"]["layers"][0]
+    assert "hc" in lay0["attn"] and "hc" in lay0["ff"]
+    params = _randomize_hc(params, seed=11)
+
+    spec = dataclasses.replace(bs_roformer.spec_from_config(mcfg),
+                               experimental_forward=True)
+    sd = export_state_dict(params, spec, transformer_norm_output=False,
+                           final_norm=True)
+    x = np.random.default_rng(8).standard_normal((2, 2, 1280)).astype(np.float32) * 0.1
+    widths = [2 * f * 2 for f in mcfg["freqs_per_bands"]]
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x),
+                                 band_widths=widths, variant="bs",
+                                 experimental=True).numpy()
+    got = np.asarray(exp.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+
+    back = exp.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_bs_roformer_experimental_forward_without_vr():
+    """The experimental Transformer.forward threads values and drops explicit
+    residuals after depth layer 0 even with use_value_residual_learning=False
+    (reference bs_roformer_experimental.py:239-258)."""
+    from sesa_tpu.models import bs_roformer_experimental as exp
+
+    mcfg = bs_model_cfg(depth=2)
+    config = ConfigDict({"model": mcfg})
+    params = exp.init(jax.random.PRNGKey(6), config)
+    spec = bs_roformer.spec_from_config(mcfg)
+    sd = export_state_dict(params, spec, transformer_norm_output=False,
+                           final_norm=True)
+    x = np.random.default_rng(9).standard_normal((1, 2, 1280)).astype(np.float32) * 0.1
+    widths = [2 * f * 2 for f in mcfg["freqs_per_bands"]]
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x),
+                                 band_widths=widths, variant="bs",
+                                 experimental=True).numpy()
+    got = np.asarray(exp.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=1e-3)
+    # and it differs from the base (always-residual) forward
+    base = np.asarray(bs_roformer.apply(params, config, jnp.asarray(x)))
+    assert np.abs(base - got).max() > 1e-5
 
 
 def test_bs_converter_round_trip():
