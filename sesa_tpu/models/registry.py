@@ -15,6 +15,7 @@ MODEL_TYPES = {
     "bs_roformer": "sesa_tpu.models.bs_roformer",
     "mel_band_roformer": "sesa_tpu.models.mel_band_roformer",
     "bs_roformer_experimental": "sesa_tpu.models.bs_roformer_experimental",
+    "bs_roformer_custom": "sesa_tpu.models.bs_roformer_custom",
     "mel_band_roformer_experimental": "sesa_tpu.models.mel_band_roformer_experimental",
     "scnet": "sesa_tpu.models.scnet",
     "scnet_unofficial": "sesa_tpu.models.scnet_unofficial",

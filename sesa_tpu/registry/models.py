@@ -346,12 +346,11 @@ def get_model_config(clean_model: Optional[str] = None,
                     download_file(url_entry[0], target_filename=url_entry[1])
                 else:
                     download_file(url_entry)
-            if cfg.get("custom_model_url"):
-                raise ValueError(
-                    f"Model '{clean_model}' requires downloading executable model "
-                    "code (bs_roformer_custom), which this framework does not do. "
-                    "Express the architecture via config instead."
-                )
+            # bs_roformer_custom entries: the reference downloads and executes
+            # the .py at custom_model_url (reference model.py:1796-1804); here
+            # the architecture is resolved declaratively from the entry's
+            # config.yaml by sesa_tpu/models/bs_roformer_custom.py — the
+            # custom_model_url is intentionally never fetched.
             if cfg["needs_conf_edit"] and chunk_size is not None and overlap is not None:
                 conf_edit(cfg["config_path"], chunk_size, overlap)
             return (

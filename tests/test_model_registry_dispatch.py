@@ -19,6 +19,36 @@ def test_unknown_type():
         get_model("nope")
 
 
+def test_bs_roformer_custom_declarative():
+    """HyperACE-class custom configs (VR + hyper-connections) resolve onto
+    the experimental machinery; unknown architecture knobs raise typed."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ml_collections import ConfigDict
+
+    from sesa_tpu.models import bs_roformer_custom as custom
+
+    mcfg = dict(
+        dim=32, depth=2, stereo=True, num_stems=1,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        freqs_per_bands=(2, 2, 2, 2, 2, 2, 2, 2, 4, 4, 4, 4, 16, 17),
+        dim_head=8, heads=4, stft_n_fft=128, stft_hop_length=32,
+        stft_win_length=128, mask_estimator_depth=2,
+        use_value_residual_learning=True, num_residual_streams=4,
+    )
+    config = ConfigDict({"model": mcfg})
+    params = custom.init(jax.random.PRNGKey(0), config)
+    x = np.random.default_rng(0).standard_normal((1, 2, 1280)).astype(np.float32) * 0.1
+    out = custom.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 1, 2, 1280)
+    assert np.isfinite(np.asarray(out)).all()
+
+    bad = ConfigDict({"model": dict(mcfg, fno_modes=16)})
+    with pytest.raises(custom.UnsupportedCustomArchitecture, match="fno_modes"):
+        custom.init(jax.random.PRNGKey(0), bad)
+
+
 def test_segm_forward_and_unsupported_convert():
     import numpy as np
     import jax
