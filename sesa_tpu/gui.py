@@ -256,6 +256,17 @@ def create_interface():
                     ae_tta = gr.Checkbox(label="Use TTA")
                     ae_inst = gr.Checkbox(label="Extract instrumental")
                     ae_btn = gr.Button("Run ensemble", variant="primary")
+                    # presets: persisted model-selection bundles
+                    # (reference gui.py presets / config_manager.py:96-128)
+                    with gr.Accordion("Presets", open=False):
+                        preset_dd = gr.Dropdown(
+                            choices=sorted(config["presets"]), label="Preset")
+                        preset_name = gr.Textbox(label="New preset name")
+                        with gr.Row():
+                            preset_load = gr.Button("Load")
+                            preset_save = gr.Button("Save")
+                            preset_del = gr.Button("Delete")
+                        preset_status = gr.Markdown()
                 with gr.Column():
                     ae_progress = gr.HTML(progress_html(0))
                     ae_out = gr.Audio(label="Ensemble output")
@@ -263,6 +274,48 @@ def create_interface():
                          [ae_audio, ae_models, ae_chunk, ae_overlap, ae_type,
                           ae_format, ae_tta, ae_inst],
                          [ae_progress, ae_out])
+
+            def _decorate(models):
+                return [f"{m} ⭐" if m in favorites else m for m in models]
+
+            def preset_save_fn(name, models, etype, chunk, overlap):
+                if not name:
+                    return gr.update(), "Enter a preset name first"
+                config["presets"] = cm.save_preset(
+                    config["presets"], name,
+                    [m.replace(" ⭐", "") for m in (models or [])], etype,
+                    chunk_size=chunk, overlap=overlap)
+                cm.save_config(favorites, settings, config["presets"])
+                return (gr.update(choices=sorted(config["presets"]), value=name),
+                        f"Preset '{name}' saved")
+
+            def preset_delete_fn(name):
+                if not name:
+                    return gr.update(), "Select a preset to delete"
+                config["presets"] = cm.delete_preset(config["presets"], name)
+                cm.save_config(favorites, settings, config["presets"])
+                return (gr.update(choices=sorted(config["presets"]), value=None),
+                        f"Preset '{name}' deleted")
+
+            def preset_load_fn(name):
+                p = config["presets"].get(name)
+                if not p:
+                    return (gr.update(), gr.update(), gr.update(), gr.update(),
+                            "Select a preset to load")
+                return (gr.update(value=_decorate(p.get("models", []))),
+                        gr.update(value=p.get("ensemble_method", "avg_wave")),
+                        gr.update(value=p.get("chunk_size") or settings["chunk_size"]),
+                        gr.update(value=p.get("overlap") or settings["overlap"]),
+                        f"Preset '{name}' loaded")
+
+            preset_save.click(preset_save_fn,
+                              [preset_name, ae_models, ae_type, ae_chunk, ae_overlap],
+                              [preset_dd, preset_status])
+            preset_del.click(preset_delete_fn, [preset_dd],
+                             [preset_dd, preset_status])
+            preset_load.click(preset_load_fn, [preset_dd],
+                              [ae_models, ae_type, ae_chunk, ae_overlap,
+                               preset_status])
 
         with gr.Tab("Download Sources"):
             url_in = gr.Textbox(label="URL (direct / Google Drive / YouTube)")

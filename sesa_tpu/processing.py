@@ -15,6 +15,8 @@ All three entry points are generators yielding
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import Dict, Generator, List, Optional
 
@@ -110,20 +112,47 @@ def process_audio(
     base = os.path.splitext(os.path.basename(input_audio_file))[0]
     model_name = clean_model(model)
 
-    progress_state = {"v": 5}
-    updates: List[Dict] = []
+    yield {"progress": 5, "status": "Separating...", "outputs": []}
+    # Live progress: separation runs in a worker thread and the demix
+    # engine's per-segment callback feeds a queue this generator drains,
+    # so the GUI sees percent movement during the hot loop (the streaming
+    # analog of the reference's [SESA_PROGRESS] stdout protocol,
+    # reference processing.py:324-371).
+    events: "queue.Queue[Optional[int]]" = queue.Queue()
+    result: Dict[str, object] = {}
 
     def on_progress(frac):
-        progress_state["v"] = clamp_percentage(5 + frac * 70)
+        events.put(clamp_percentage(5 + frac * 70))
 
-    yield {"progress": 5, "status": "Separating...", "outputs": []}
-    waveforms = session.separate_with_extras(
-        mix,
-        use_tta=use_tta,
-        extract_instrumental=extract_instrumental,
-        demud_phaseremix_inst=demud_phaseremix_inst,
-        progress_cb=on_progress,
-    )
+    def worker():
+        try:
+            result["waveforms"] = session.separate_with_extras(
+                mix,
+                use_tta=use_tta,
+                extract_instrumental=extract_instrumental,
+                demud_phaseremix_inst=demud_phaseremix_inst,
+                progress_cb=on_progress,
+            )
+        except BaseException as e:  # re-raised on the generator thread
+            result["error"] = e
+        finally:
+            events.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    last = 5
+    while True:
+        item = events.get()
+        if item is None:
+            break
+        if item != last:
+            last = item
+            yield {"progress": item, "status": f"Separating... {item}%",
+                   "outputs": []}
+    thread.join()
+    if "error" in result:
+        raise result["error"]
+    waveforms = result["waveforms"]
 
     is_float = export_format.startswith("wav FLOAT")
     ext = ".flac" if export_format.startswith("flac") else ".wav"
@@ -215,8 +244,42 @@ def auto_ensemble_process(
         session = _make_session(model, chunk_size, overlap)
         mix, sr = read_audio(input_audio_file, target_sr=session.sample_rate)
         sr_out = sr
-        waveforms = session.separate_with_extras(
-            mix, use_tta=use_tta, extract_instrumental=extract_instrumental)
+        # live per-model progress (same worker-thread pattern as
+        # process_audio; reference streams per-percent, processing.py:910-979)
+        events: "queue.Queue[Optional[int]]" = queue.Queue()
+        result: Dict[str, object] = {}
+
+        def on_progress(frac, _mi=mi):
+            events.put(clamp_percentage((_mi + frac) * per_model))
+
+        def worker(_session=session, _mix=mix):
+            try:
+                result["waveforms"] = _session.separate_with_extras(
+                    _mix, use_tta=use_tta,
+                    extract_instrumental=extract_instrumental,
+                    progress_cb=on_progress)
+            except BaseException as e:
+                result["error"] = e
+            finally:
+                events.put(None)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        last = -1
+        while True:
+            item = events.get()
+            if item is None:
+                break
+            if item != last:
+                last = item
+                yield {"progress": item,
+                       "status": f"Separating with {model}... "
+                                 f"({mi + 1}/{len(selected_models)})",
+                       "outputs": []}
+        thread.join()
+        if "error" in result:
+            raise result["error"]
+        waveforms = result["waveforms"]
         # keep stems whose names match the ensemble targets
         for stem, est in waveforms.items():
             key = stem.lower()

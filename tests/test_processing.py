@@ -14,7 +14,8 @@ class FakeSession:
     def separate_with_extras(self, mix, use_tta=False, extract_instrumental=False,
                              demud_phaseremix_inst=False, progress_cb=None):
         if progress_cb:
-            progress_cb(1.0)
+            for frac in (0.25, 0.5, 0.75, 1.0):
+                progress_cb(frac)
         out = {"vocals": mix * 0.5}
         if extract_instrumental:
             out["instrumental"] = mix * 0.5
@@ -52,6 +53,29 @@ def test_process_audio_flow(fake_session):
     assert final["slots"]["vocals"] and final["slots"]["instrumental"]
     for f in final["outputs"]:
         assert os.path.exists(f)
+
+
+def test_process_audio_streams_live_progress(fake_session):
+    """Intermediate percent updates surface DURING separation (VERDICT r1
+    item 6: the generator previously jumped 5% -> 80% with no movement)."""
+    song = _write_song(fake_session)
+    updates = list(processing.process_audio(song, "Some Model",
+                                            output_dir=str(fake_session / "out")))
+    mid = [u["progress"] for u in updates if 5 < u["progress"] < 80]
+    assert len(mid) >= 3, [u["progress"] for u in updates]
+    assert mid == sorted(mid)
+
+
+def test_process_audio_propagates_worker_errors(fake_session, monkeypatch):
+    class BoomSession(FakeSession):
+        def separate_with_extras(self, *a, **k):
+            raise RuntimeError("boom")
+
+    monkeypatch.setattr(processing, "_make_session", lambda *a, **k: BoomSession())
+    song = _write_song(fake_session)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(processing.process_audio(song, "Some Model",
+                                      output_dir=str(fake_session / "out")))
 
 
 def test_auto_ensemble_flow(fake_session):
