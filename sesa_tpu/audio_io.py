@@ -108,3 +108,115 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
             w.writeframes(b[:, :3].tobytes())
         else:
             raise ValueError(f"unknown subtype {subtype}")
+
+
+class AudioReader:
+    """Streaming frame reader: ``read(n) -> (channels, m) float32``.
+
+    Backends in preference order: soundfile (any format), the native WAV
+    codec (sesa_tpu/native/wavio.cpp windowed reads), then a whole-file
+    fallback served in slices (correct but not bounded-memory). Drives the
+    long-file paths (streaming ensemble; reference ensemble.py:319).
+    """
+
+    def __init__(self, path: str):
+        self._path = path
+        self._pos = 0
+        self._sf = None
+        self._native = False
+        if _sf is not None:
+            self._sf = _sf.SoundFile(path)
+            self.samplerate = self._sf.samplerate
+            self.channels = self._sf.channels
+            self.frames = len(self._sf)
+            return
+        if path.lower().endswith(".wav"):
+            from sesa_tpu import native as _native_mod
+
+            lib = _native_mod.load()
+            if lib is not None:
+                import ctypes
+
+                ch = ctypes.c_int32()
+                sr = ctypes.c_int32()
+                fr = ctypes.c_int64()
+                if lib.sesa_wav_info(path.encode(), ctypes.byref(ch),
+                                     ctypes.byref(sr), ctypes.byref(fr)) == 0:
+                    self._native = True
+                    self.channels = ch.value
+                    self.samplerate = sr.value
+                    self.frames = fr.value
+                    return
+        data, sr = read_audio(path)
+        self._data = data
+        self.samplerate = sr
+        self.channels = data.shape[0]
+        self.frames = data.shape[1]
+
+    def read(self, n: int) -> np.ndarray:
+        n = min(n, self.frames - self._pos)
+        if n <= 0:
+            return np.zeros((self.channels, 0), dtype=np.float32)
+        if self._sf is not None:
+            out = self._sf.read(n, dtype="float32", always_2d=True).T
+        elif self._native:
+            from sesa_tpu import native as _native_mod
+
+            out = _native_mod.wav_read_at(self._path, self._pos, n, self.channels)
+        else:
+            out = self._data[:, self._pos : self._pos + n]
+        self._pos += out.shape[1]
+        return np.ascontiguousarray(out)
+
+    def close(self) -> None:
+        if self._sf is not None:
+            self._sf.close()
+            self._sf = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class AudioWriter:
+    """Streaming frame writer: ``write((channels, n) float32)`` appends.
+
+    soundfile when available (FLAC etc.); otherwise the native incremental
+    WAV writer (.flac paths are rewritten to .wav, as in write_audio).
+    """
+
+    def __init__(self, path: str, sr: int, channels: int, subtype: str = "PCM_24"):
+        self.path = path
+        self._sf = None
+        self._native = None
+        if _sf is not None:
+            self._sf = _sf.SoundFile(path, "w", samplerate=sr,
+                                     channels=channels, subtype=subtype)
+            return
+        if path.lower().endswith(".flac"):
+            self.path = path = os.path.splitext(path)[0] + ".wav"
+        from sesa_tpu import native as _native_mod
+
+        self._native = _native_mod.WavWriter(path, sr, channels, subtype=subtype)
+
+    def write(self, audio: np.ndarray) -> None:
+        if self._sf is not None:
+            self._sf.write(np.ascontiguousarray(np.asarray(audio, np.float32).T))
+        else:
+            self._native.write(audio)
+
+    def close(self) -> None:
+        if self._sf is not None:
+            self._sf.close()
+            self._sf = None
+        elif self._native is not None:
+            self._native.close()
+            self._native = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

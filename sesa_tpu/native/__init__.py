@@ -46,6 +46,18 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
         lib.sesa_wav_write.restype = ctypes.c_int
+        lib.sesa_wav_read_at.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int64]
+        lib.sesa_wav_read_at.restype = ctypes.c_int64
+        lib.sesa_wav_writer_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.sesa_wav_writer_open.restype = ctypes.c_void_p
+        lib.sesa_wav_writer_write.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.sesa_wav_writer_write.restype = ctypes.c_int
+        lib.sesa_wav_writer_close.argtypes = [ctypes.c_void_p]
+        lib.sesa_wav_writer_close.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = None
@@ -85,3 +97,55 @@ def wav_write(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -> 
                             audio.shape[0], audio.shape[1], sr,
                             _SUBTYPES[subtype])
     return rc == 0
+
+
+def wav_read_at(path: str, start: int, nframes: int, channels: int):
+    """Windowed streaming read -> (channels, m) float32 or None."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty((channels, nframes), dtype=np.float32)
+    got = lib.sesa_wav_read_at(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        start, nframes)
+    if got < 0:
+        return None
+    if got == nframes:
+        return out
+    # short read at EOF: the C side packed channel-major with stride `got`
+    flat = out.reshape(-1)[: channels * got]
+    return flat.reshape(channels, got).copy()
+
+
+class WavWriter:
+    """Incremental native WAV writer (bounded-memory streaming output)."""
+
+    def __init__(self, path: str, sr: int, channels: int, subtype: str = "PCM_24"):
+        lib = load()
+        if lib is None or subtype not in _SUBTYPES:
+            raise OSError("native wav writer unavailable")
+        self._lib = lib
+        self._h = lib.sesa_wav_writer_open(path.encode(), channels, sr,
+                                           _SUBTYPES[subtype])
+        if not self._h:
+            raise OSError(f"cannot open {path} for writing")
+
+    def write(self, audio: np.ndarray) -> None:
+        """audio: (channels, frames) float32."""
+        audio = np.ascontiguousarray(audio, dtype=np.float32)
+        rc = self._lib.sesa_wav_writer_write(
+            self._h, audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            audio.shape[1])
+        if rc != 0:
+            raise OSError(f"wav write failed (rc={rc})")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sesa_wav_writer_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

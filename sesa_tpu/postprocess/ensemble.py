@@ -6,11 +6,11 @@ median / max / min, and spectral methods max_fft / min_fft / median_fft
 (magnitude reduction with the first file's phase, scipy STFT nperseg
 min(1024, samples), 50% overlap, falling back to avg_wave on failure).
 
-Where the reference streams 32768-frame chunks through libsndfile readers
-(a host-memory workaround), songs here are combined in one shot: waveform
-reductions run as single jnp ops over the stacked (N, ch, T) stems and fit
-easily in memory; the spectral path keeps the reference's exact
-scipy.signal semantics so outputs match bit-for-bit.
+Two surfaces: ``ensemble_waveforms`` combines in-memory stems in one shot
+(single jnp ops over the stacked (N, ch, T) array — the in-process
+auto-ensemble path), and ``ensemble_files`` streams 32768-frame chunks
+through aligned libsndfile readers with bounded memory for arbitrarily
+long files, matching the reference's streaming engine (ensemble.py:319).
 """
 
 from __future__ import annotations
@@ -110,28 +110,78 @@ def ensemble_waveforms(waves: Sequence[np.ndarray], method: str = "avg_wave",
     return _waveform_combine(stack, method, w)
 
 
+def _waveform_combine_np(stack: np.ndarray, method: str,
+                         weights: Optional[np.ndarray]) -> np.ndarray:
+    """Pure-numpy combiner for the streaming path (per-chunk host work —
+    shipping 32768-frame buffers to the device would cost more in
+    transfers than the reduction saves)."""
+    if method == "avg_wave":
+        if weights is not None:
+            w = weights / weights.sum()
+            return np.tensordot(w, stack, axes=1).astype(np.float32)
+        return stack.mean(axis=0)
+    if method == "median_wave":
+        return np.median(stack, axis=0).astype(np.float32)
+    if method == "max_wave":
+        return stack.max(axis=0)
+    if method == "min_wave":
+        return stack.min(axis=0)
+    raise ValueError(method)
+
+
 def ensemble_files(files: List[str], method: str, output_path: str,
                    weights: Optional[Sequence[float]] = None,
-                   progress_cb=None) -> str:
-    """File-level ensemble (the reference's ensemble.py CLI surface)."""
-    from sesa_tpu.audio_io import read_audio, write_audio
+                   progress_cb=None, buffer_frames: int = 32768) -> str:
+    """File-level ensemble, streaming (the reference's ensemble.py surface).
 
-    waves = []
-    sr = None
-    for i, f in enumerate(files):
-        data, this_sr = read_audio(f)
-        if sr is not None and this_sr != sr:
-            raise ValueError(f"sample-rate mismatch: {f} has {this_sr}, expected {sr}")
-        sr = this_sr
-        waves.append(data)
-        if progress_cb:
-            progress_cb((i + 1) / (len(files) + 1))
+    Bounded memory for arbitrarily long inputs: N aligned streaming
+    readers feed ``buffer_frames``-sized chunks (reference ensemble.py:319
+    streams 32768-frame buffers), truncated to the shortest file, written
+    incrementally as PCM_24. Waveform methods are pointwise across files so
+    chunking is exact; spectral methods reduce per chunk exactly like the
+    reference's streaming engine.
+    """
+    from sesa_tpu.audio_io import AudioReader, AudioWriter
 
-    out = ensemble_waveforms(waves, method, weights)
-    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-    write_audio(output_path, out, sr, subtype="PCM_24")
-    if progress_cb:
-        progress_cb(1.0)
+    if method not in ENSEMBLE_METHODS:
+        raise ValueError(f"Invalid method '{method}'. Available: {list(ENSEMBLE_METHODS)}")
+    if not files:
+        raise ValueError("no input files")
+    w = np.asarray(weights, dtype=np.float32) if weights is not None else None
+
+    readers = [AudioReader(f) for f in files]
+    try:
+        sr = readers[0].samplerate
+        ch = readers[0].channels
+        for f, r in zip(files[1:], readers[1:]):
+            if r.samplerate != sr:
+                raise ValueError(
+                    f"sample-rate mismatch: {f} has {r.samplerate}, expected {sr}")
+            if r.channels != ch:
+                raise ValueError(
+                    f"channel-count mismatch: {f} has {r.channels}, expected {ch}")
+        total = min(r.frames for r in readers)  # shortest-file truncation
+
+        os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        with AudioWriter(output_path, sr, ch, subtype="PCM_24") as writer:
+            done = 0
+            while done < total:
+                n = min(buffer_frames, total - done)
+                stack = np.stack([r.read(n) for r in readers])  # (N, ch, n)
+                if method.endswith("_fft"):
+                    out = _spectral_combine(stack, method)
+                    if out is None:  # too-short tail: reference avg fallback
+                        out = _waveform_combine_np(stack, "avg_wave", w)
+                else:
+                    out = _waveform_combine_np(stack, method, w)
+                writer.write(out)
+                done += n
+                if progress_cb:
+                    progress_cb(done / total)
+            output_path = writer.path  # .flac may fall back to .wav
+    finally:
+        for r in readers:
+            r.close()
     return output_path
 
 

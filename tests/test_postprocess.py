@@ -63,6 +63,64 @@ def test_spectral_too_short_falls_back_to_avg():
     np.testing.assert_allclose(out, 0.5 * np.ones((2, 100)), atol=1e-6)
 
 
+def test_streaming_ensemble_files_matches_in_memory(tmp_path):
+    """ensemble_files streams bounded 32768-frame buffers (reference
+    ensemble.py:319); pointwise waveform methods must equal the in-memory
+    result regardless of chunking."""
+    import wave
+
+    from sesa_tpu.audio_io import read_audio, write_audio
+    from sesa_tpu.postprocess.ensemble import ensemble_files
+
+    rng = np.random.default_rng(3)
+    waves = [rng.standard_normal((2, 44100 + i * 13)).astype(np.float32) * 0.3
+             for i in range(3)]
+    files = []
+    for i, w in enumerate(waves):
+        f = str(tmp_path / f"in{i}.wav")
+        write_audio(f, w, 44100, subtype="FLOAT")
+        files.append(f)
+
+    progress = []
+    out_path = str(tmp_path / "out.wav")
+    # buffer far smaller than the file so multiple chunks stream
+    ensemble_files(files, "avg_wave", out_path, weights=[3, 1, 1],
+                   progress_cb=progress.append, buffer_frames=4096)
+    got, got_sr = read_audio(out_path)
+    assert got_sr == 44100
+    with wave.open(out_path, "rb") as wf:
+        assert wf.getsampwidth() == 3  # PCM_24 output, like the reference
+
+    ref = ensemble_waveforms(waves, "avg_wave", weights=[3, 1, 1])
+    # PCM_24 quantization: 2^-23 steps
+    np.testing.assert_allclose(got, ref, atol=2.5e-7)
+    assert progress == sorted(progress) and progress[-1] == 1.0
+    assert len(progress) > 5
+
+
+def test_streaming_ensemble_spectral_and_validation(tmp_path):
+    from sesa_tpu.audio_io import read_audio, write_audio
+    from sesa_tpu.postprocess.ensemble import ensemble_files
+
+    rng = np.random.default_rng(4)
+    files = []
+    for i in range(2):
+        f = str(tmp_path / f"s{i}.wav")
+        write_audio(f, rng.standard_normal((2, 30000)).astype(np.float32) * 0.3,
+                    44100, subtype="FLOAT")
+        files.append(f)
+    out = ensemble_files(files, "median_fft", str(tmp_path / "o.wav"),
+                         buffer_frames=8192)
+    data, _ = read_audio(out)
+    assert data.shape[1] == 30000
+    assert np.isfinite(data).all()
+
+    bad = str(tmp_path / "bad.wav")
+    write_audio(bad, rng.standard_normal((2, 1000)).astype(np.float32), 22050)
+    with pytest.raises(ValueError, match="sample-rate mismatch"):
+        ensemble_files([files[0], bad], "avg_wave", str(tmp_path / "x.wav"))
+
+
 def test_invalid_method():
     with pytest.raises(ValueError, match="Invalid method"):
         ensemble_waveforms(_waves(), "nope")
