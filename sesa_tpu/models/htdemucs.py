@@ -37,8 +37,15 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 def _kwargs(config):
     """HTDemucs(**extra, **config.htdemucs) (reference demucs4ht.py:696-713)."""
     cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
-    assert cfg.get("model", "htdemucs") == "htdemucs", (
-        "only the htdemucs variant is implemented (demucs/hdemucs are legacy)")
+    variant = cfg.get("model", "htdemucs")
+    if variant != "htdemucs":
+        # reference get_model dispatches demucs/hdemucs/htdemucs
+        # (demucs4ht.py:696-713); the legacy conv-only variants have no
+        # surviving registry checkpoints and are rejected with a typed error
+        raise NotImplementedError(
+            f"model variant {variant!r} is not implemented: only 'htdemucs' "
+            "is supported (the legacy 'demucs'/'hdemucs' architectures have "
+            "no registry checkpoints)")
     kw = dict(
         channels=48, growth=2, nfft=4096, wiener_iters=0, wiener_residual=False,
         cac=True, depth=4,
@@ -55,8 +62,11 @@ def _kwargs(config):
     kw["audio_channels"] = int(training.get("channels", 2))
     kw["samplerate"] = int(training.get("samplerate", 44100))
     kw["segment"] = training.get("segment", 10)
-    assert not kw["multi_freqs"], "MultiWrap frequency splitting is not supported"
-    assert kw["num_subbands"] == 1, "num_subbands > 1 is not supported"
+    if kw["multi_freqs"]:
+        raise NotImplementedError(
+            "multi_freqs (MultiWrap per-band conv splitting, reference "
+            "demucs4ht.py:302,152-154) is not implemented; no registry "
+            "checkpoint uses it")
     return kw
 
 
@@ -64,8 +74,9 @@ def _layer_plan(kw):
     """Per-depth (freq) channel/kernel plan mirroring reference :263-370."""
     plan = []
     cac_f = 2 if kw["cac"] else 1
+    subs = kw["num_subbands"]
     chin = kw["audio_channels"]
-    chin_z = chin * cac_f
+    chin_z = chin * cac_f * subs  # subband fold widens channels (ref :257-258)
     chout = kw["channels"]
     chout_z = kw["channels"]
     freqs = kw["nfft"] // 2
@@ -84,7 +95,7 @@ def _layer_plan(kw):
                          chout=chout, chout_z=chout_z, freqs=freqs))
         if index == 0:
             chin = kw["audio_channels"] * len(kw["sources"])
-            chin_z = chin * cac_f
+            chin_z = chin * cac_f * subs  # ref :330-333
         # next layer dims recorded via dec entry below
         plan[-1]["dec_chin"] = chin
         plan[-1]["dec_chin_z"] = chin_z
@@ -484,6 +495,14 @@ def apply(params, config, mix, precision=None):
         # magnitude input (reference :460-467 z.abs() branch)
         mag = jnp.sqrt(z_mix[..., 0] ** 2 + z_mix[..., 1] ** 2)
 
+    subs = kw["num_subbands"]
+    if subs > 1:
+        # cac2cws subband fold: frequency rows (k, f/k) into channels
+        # (reference demucs4ht.py:534-539,568-569)
+        c_in = mag.shape[1]
+        mag = mag.reshape(b, c_in, subs, (nfft // 2) // subs, le)
+        mag = mag.reshape(b, c_in * subs, (nfft // 2) // subs, le)
+
     mean = mag.mean(axis=(1, 2, 3), keepdims=True)
     std = mag.std(axis=(1, 2, 3), keepdims=True)
     x = (mag - mean) / (1e-5 + std)
@@ -513,6 +532,11 @@ def apply(params, config, mix, precision=None):
                         precision=precision)
         if idx == 0:
             emb = params["freq_emb"] * kw["emb_scale"]  # ScaledEmbedding forward
+            # the embedding table is sized from the NOMINAL frequency count
+            # (ctor freqs, reference :366-369); at runtime only the actual
+            # rows are indexed (arange(x.shape[2]), :606-609) — with
+            # num_subbands > 1 that's 1/k of the table
+            emb = emb[: x.shape[2]]
             x = x + kw["freq_emb"] * jnp.transpose(emb, (1, 0))[None, :, :, None]
         saved.append(x)
 
@@ -591,6 +615,13 @@ def apply(params, config, mix, precision=None):
                                     precision=precision)
 
     # ---- output assembly ----
+    if subs > 1:
+        # cws2cac: subband channels back onto the frequency axis
+        # (reference demucs4ht.py:541-546,663-666)
+        c_all, fsub = x.shape[1], x.shape[2]
+        x = x.reshape(b, c_all // subs, subs, fsub, le)
+        x = x.reshape(b, c_all // subs, subs * fsub, le)
+
     if kw["cac"]:
         x = x.reshape(b, s_src, ch * 2, nfft // 2, le)
         x = x * std[:, None] + mean[:, None]

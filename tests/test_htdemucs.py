@@ -48,6 +48,57 @@ def test_forward_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_forward_num_subbands():
+    """num_subbands > 1 folds frequency rows into channels (reference
+    demucs4ht.py:534-546,568-569,663-666)."""
+    config = tiny_config()
+    config.htdemucs.num_subbands = 2
+    kw = htdemucs._kwargs(config)
+    plan = htdemucs._layer_plan(kw)
+    assert plan[0]["chin_z"] == 2 * 2 * 2          # ch * cac * subbands
+    assert plan[0]["dec_chin_z"] == 4 * 2 * 2 * 2  # sources * ch * cac * subs
+
+    params = htdemucs.init(jax.random.PRNGKey(1), config)
+    t = 512 * 64
+    x = np.random.default_rng(1).standard_normal((1, 2, t)).astype(np.float32) * 0.1
+    out = htdemucs.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_subband_fold_matches_reference_formula():
+    """cac2cws/cws2cac fold exactly as the reference reshapes."""
+    import torch
+
+    rng = np.random.default_rng(2)
+    b, c, f, t, k = 2, 4, 12, 5, 3
+    x = rng.standard_normal((b, c, f, t)).astype(np.float32)
+
+    tx = torch.from_numpy(x)
+    ref_fold = tx.reshape(b, c, k, f // k, t).reshape(b, c * k, f // k, t)
+    got_fold = jnp.asarray(x).reshape(b, c, k, f // k, t).reshape(b, c * k, f // k, t)
+    np.testing.assert_array_equal(np.asarray(got_fold), ref_fold.numpy())
+
+    ref_unfold = ref_fold.reshape(b, c, k, f // k, t).reshape(b, c, f, t)
+    got_unfold = got_fold.reshape(b, c, k, f // k, t).reshape(b, c, f, t)
+    np.testing.assert_array_equal(np.asarray(got_unfold), x)
+    np.testing.assert_array_equal(ref_unfold.numpy(), x)
+
+
+def test_typed_rejections():
+    import pytest
+
+    config = tiny_config()
+    config.model = "hdemucs"
+    with pytest.raises(NotImplementedError, match="hdemucs"):
+        htdemucs._kwargs(config)
+
+    config = tiny_config()
+    config.htdemucs.multi_freqs = [2, 4]
+    with pytest.raises(NotImplementedError, match="multi_freqs"):
+        htdemucs._kwargs(config)
+
+
 def test_session_demucs_mode():
     """htdemucs sessions use demucs-mode chunking (plain averaging)."""
     from sesa_tpu.runtime.demix import DemixSpec
