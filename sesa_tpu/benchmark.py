@@ -39,7 +39,6 @@ def _build(model_type, config_path, ckpt, chunk_size, batch_size, compute_dtype)
 
 def run_mode(model_type, config_path, ckpt, mode, iters=10, chunk_size=None,
              batch_size=2):
-    import jax
     import jax.numpy as jnp
 
     session, fn = _build(model_type, config_path, ckpt, chunk_size, batch_size, mode)
@@ -49,20 +48,25 @@ def run_mode(model_type, config_path, ckpt, mode, iters=10, chunk_size=None,
         np.random.default_rng(0).standard_normal((batch_size, ch, chunk)),
         jnp.float32) * 0.1
 
+    # Timing protocol: on this backend block_until_ready does not reliably
+    # await remote execution and identical dispatches can be served from a
+    # relay cache — every timed region ends with a data FETCH and the
+    # iteration loop is data-dependent (see .claude/skills/verify).
     t0 = time.time()
     out = fn(session.params, x)
-    jax.block_until_ready(out)
+    float(jnp.abs(out).sum())
     compile_s = time.time() - t0
 
     # warmup
     for _ in range(2):
         out = fn(session.params, x)
-    jax.block_until_ready(out)
+    float(jnp.abs(out).sum())
 
     t0 = time.time()
     for _ in range(iters):
         out = fn(session.params, x)
-    jax.block_until_ready(out)
+        x = x + out[:, 0] * 1e-6  # chain iterations so none can be replayed
+    float(jnp.abs(out).sum())
     ms = (time.time() - t0) / iters * 1000
     audio_s = batch_size * chunk / 44100.0
     return {"mode": mode, "ms_per_iter": ms, "compile_s": compile_s,

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 
 def test_i18n_loads_and_translates():
     from sesa_tpu.i18n import I18nAuto

@@ -9,6 +9,10 @@ import yaml
 
 import jax
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_cli_end_to_end(tmp_path):
     from sesa_tpu.audio_io import read_audio, write_audio

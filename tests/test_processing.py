@@ -7,6 +7,8 @@ import pytest
 
 from sesa_tpu import processing
 
+pytestmark = pytest.mark.smoke
+
 
 class FakeSession:
     sample_rate = 44100

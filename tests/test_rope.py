@@ -5,8 +5,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
 from sesa_tpu.ops.rope import (apply_rope, default_freqs, rope_tables,
                                rotate_half_interleaved)
+
+pytestmark = pytest.mark.smoke
 
 
 def test_matmul_rotate_half_is_exact():

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from sesa_tpu.ops import stft, istft, hann_window
 
+pytestmark = pytest.mark.smoke
+
 
 def _torch_stft(x, n_fft, hop, window, normalized=False, win_length=None):
     return torch.stft(
