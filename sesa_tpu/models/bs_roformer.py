@@ -15,6 +15,7 @@ sesa_tpu/models/mel_band_roformer.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -27,6 +28,12 @@ from sesa_tpu.models.layers import rms_norm
 from sesa_tpu.ops import bands as B
 from sesa_tpu.ops.rope import default_freqs, rope_tables
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
+
+# depth-loop compilation strategy: 0 = fully unrolled program, N >= 1 =
+# lax.scan over stacked per-depth params with N-way body unrolling. Scan
+# collapses compile time (the body compiles once); unrolling the body a few
+# times buys back most of the loop's runtime overhead.
+_SCAN_UNROLL = int(os.environ.get("SESA_ROFORMER_SCAN_UNROLL", "1"))
 
 DEFAULT_FREQS_PER_BANDS = (
     2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
@@ -222,9 +229,32 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
         # bs_roformer_experimental.py:558-560)
         xb = HC.expand_streams(xb, streams)
 
+    # Uniform stacks (no skip/linear/VR/streams) run as ONE lax.scan over
+    # stacked per-depth params instead of a depth-times unrolled program:
+    # XLA compiles the [time+freq] body once, cutting flagship cold-compile
+    # from minutes to tens of seconds with identical numerics (same ops,
+    # same order). Deeper-shared structure is guaranteed by init_from_spec.
+    use_scan = (_SCAN_UNROLL > 0 and not spec.skip_connection and not vr_forward
+                and spec.linear_transformer_depth == 0
+                and len(params["layers"]) > 1)
+    if use_scan:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def scan_body(z, layer):
+            z = jnp.transpose(z, (0, 2, 1, 3))  # (B, NB, Tf, D)
+            z = core.transformer_apply(layer["time"], z, spec.heads,
+                                       rope=rope_time, precision=precision)
+            z = jnp.transpose(z, (0, 2, 1, 3))  # (B, Tf, NB, D)
+            z = core.transformer_apply(layer["freq"], z, spec.heads,
+                                       rope=rope_freq, precision=precision)
+            return z, None
+
+        xb, _ = jax.lax.scan(scan_body, xb, stacked,
+                             unroll=min(_SCAN_UNROLL, len(params["layers"])))
+
     store = []
     time_v_res = freq_v_res = None
-    for layer in params["layers"]:
+    for layer in (() if use_scan else params["layers"]):
         if spec.skip_connection and store:
             xb = xb + sum(store)
         if "linear" in layer:

@@ -341,6 +341,11 @@ def get_model_config(clean_model: Optional[str] = None,
     for category in MODEL_CONFIGS.values():
         if clean_model in category:
             cfg = category[clean_model]
+            if cfg.get("unsupported"):
+                # flagged in registry metadata (e.g. imagenet-encoder-zoo
+                # checkpoints): fail typed BEFORE downloading assets
+                raise NotImplementedError(
+                    f"Model '{clean_model}' is not loadable: {cfg['unsupported']}")
             for url_entry in cfg["download_urls"]:
                 if isinstance(url_entry, (tuple, list)):
                     download_file(url_entry[0], target_filename=url_entry[1])
