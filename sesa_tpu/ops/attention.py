@@ -11,6 +11,7 @@ the MXU. Softmax runs in float32 regardless of compute dtype.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -486,6 +487,8 @@ def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
         return False
     if dtype is not None and dtype != jnp.bfloat16:
         # f32 parity mode keeps the unfused HIGHEST-precision path
+        return False
+    if os.environ.get("SESA_NO_FUSED"):  # debugging / A-B kill switch
         return False
     try:
         return jax.devices()[0].platform != "cpu"

@@ -90,6 +90,10 @@ def use_fused_ff(x, w1) -> bool:
     dim, hidden = x.shape[-1], w1.shape[0]
     if dim % 128 or hidden % 128 or hidden > 4096:
         return False
+    import os
+
+    if os.environ.get("SESA_NO_FUSED"):  # debugging / A-B kill switch
+        return False
     try:
         return jax.devices()[0].platform != "cpu"
     except Exception:

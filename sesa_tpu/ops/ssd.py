@@ -8,15 +8,23 @@ states are decayed and combined through a chunk-level recurrence, and
 inter-chunk contributions are added back per position.
 
 Everything is batched einsums over (chunks, chunk_len, heads, head_dim,
-state) — MXU-shaped by construction. A fused Pallas kernel slot is kept
-(`use_pallas`) for the perf pass; numerics are defined by this version.
+state) — MXU-shaped by construction. `ssd_pallas` is a fused single-pass
+TPU kernel with the inter-chunk state carried in VMEM across a sequential
+grid (no HBM round trips for the recurrence); `ssd` dispatches to it on
+TPU when the shapes fit. Numerics are defined by the einsum version.
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -29,6 +37,117 @@ def segsum(x: jax.Array) -> jax.Array:
     diff = cs[..., :, None] - cs[..., None, :]  # [i, j] = sum_{j+1..i}
     mask = np.tril(np.ones((t, t), dtype=bool), 0)
     return jnp.where(jnp.asarray(mask), diff, -jnp.inf)
+
+
+def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
+                heads, q):
+    """One (batch, chunk) program: diagonal block + state in/out.
+
+    Refs: x (1, H, Q, P), a (1, H, Q), b/c (1, Q, N), y (1, H, Q, P),
+    state scratch (H*P, N) float32 persisting across the sequential
+    chunk grid dimension (re-zeroed at chunk 0).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _zero():
+        state_ref[...] = jnp.zeros_like(state_ref)
+
+    b = b_ref[0, 0].astype(jnp.float32)  # (Q, N)
+    c = c_ref[0, 0].astype(jnp.float32)  # (Q, N)
+    # C B^T once: the B/C projections are group-shared across heads
+    cbt = jax.lax.dot_general(c, b, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (Q, Q)
+    row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
+    tril = row >= col
+
+    p = x_ref.shape[-1]
+    for h in range(heads):
+        ah = jnp.cumsum(a_ref[0, 0, h].astype(jnp.float32))  # (Q,) <= 0
+        # decay[i, j] = exp(sum_{j+1..i} a); clamp the (masked) upper
+        # triangle so the exp never overflows to inf
+        diff = jnp.minimum(ah[:, None] - ah[None, :], 0.0)
+        lmat = jnp.where(tril, jnp.exp(diff), 0.0) * cbt  # (Q, Q)
+        xh = x_ref[0, 0, h].astype(jnp.float32)  # (Q, P)
+        y = jax.lax.dot_general(lmat, xh, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        st = state_ref[h * p:(h + 1) * p]  # (P, N)
+        # inter-chunk: y_l += exp(acum_l) * C_l . state
+        cst = jax.lax.dot_general(c, st, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        y = y + jnp.exp(ah)[:, None] * cst
+        y_ref[0, 0, h] = y.astype(y_ref.dtype)
+        # state' = exp(acum_last) * state + X^T (exp(acum_last - acum) * B)
+        wb = jnp.exp(ah[-1] - ah)[:, None] * b  # (Q, N)
+        f = jax.lax.dot_general(xh, wb, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        state_ref[h * p:(h + 1) * p] = jnp.exp(ah[-1]) * st + f
+
+
+def ssd_pallas(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
+               chunk_size: int = 64, interpret: bool = False) -> jax.Array:
+    """Fused TPU SSD: same contract as `ssd` (G must be 1).
+
+    Everything for one (batch, chunk) step lives in VMEM; the recurrent
+    (H*P, N) state never touches HBM. The chunk axis is the minor grid
+    dimension, which Pallas TPU iterates sequentially per core, so the
+    scratch state carries across chunks (re-zeroed at chunk 0).
+    """
+    bsz, l, h, p = x.shape
+    g, n = b.shape[-2], b.shape[-1]
+    assert g == 1, "pallas ssd requires group-shared B/C"
+    assert l % chunk_size == 0, (l, chunk_size)
+    nc = l // chunk_size
+    q = chunk_size
+
+    # head-major layouts: per-head (Q, P) slices are contiguous VMEM tiles
+    xt = jnp.transpose(x.reshape(bsz, nc, q, h, p), (0, 1, 3, 2, 4))
+    at = jnp.transpose(a.reshape(bsz, nc, q, h), (0, 1, 3, 2))
+    b2 = b.reshape(bsz, nc, q, n)
+    c2 = c.reshape(bsz, nc, q, n)
+
+    out = pl.pallas_call(
+        functools.partial(_ssd_kernel, heads=h, q=q),
+        grid=(bsz, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, q, p), lambda i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, q), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q, n), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, q, p), lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, nc, h, q, p), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h * p, n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * l * h * (q * n + q * p + 2 * n * p),
+            bytes_accessed=2 * bsz * l * h * p * x.dtype.itemsize,
+            transcendentals=bsz * l * h * (q + 2),
+        ),
+        interpret=interpret,
+    )(xt, at, b2, c2)
+    # (B, nc, H, Q, P) -> (B, L, H, P)
+    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(bsz, l, h, p)
+
+
+def use_pallas_ssd(x, b, chunk_size) -> bool:
+    """Dispatch gate: the fused kernel needs TPU silicon, group-shared
+    projections, and MXU-friendly minor dims."""
+    if os.environ.get("SESA_NO_FUSED"):
+        return False
+    if b.shape[-2] != 1 or x.shape[1] % chunk_size:
+        return False
+    if x.shape[-1] % 8 or b.shape[-1] % 128 or chunk_size % 8:
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
 
 
 def ssd(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
@@ -44,6 +163,9 @@ def ssd(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
       y: (B, L, H, P)
     L must be a multiple of chunk_size (pad upstream).
     """
+    if use_pallas_ssd(x, b, chunk_size):
+        return ssd_pallas(x, a, b, c, chunk_size=chunk_size)
+
     bsz, l, h, p = x.shape
     g, n = b.shape[-2], b.shape[-1]
     assert l % chunk_size == 0, (l, chunk_size)
