@@ -1,15 +1,24 @@
-"""Headline benchmark: BS-RoFormer vocals separation RTF on one TPU chip.
+"""Headline benchmarks: all five BASELINE.json configs on one TPU chip.
 
-Separates a synthetic 60 s 44.1 kHz stereo song with a flagship-shaped
-BS-RoFormer (dim 512 / depth 12, the viperx vocals architecture —
-reference model.py:650) through the on-device demix engine in bf16, and
-reports RTF = audio-seconds processed per wall-second per chip.
+Emits ONE JSON line per config, in this order (env `SESA_BENCH_ONLY` — a
+comma list of config names — subsets the run):
 
-vs_baseline is RTF / 20: the north-star target from BASELINE.json is
-≥ 20x realtime per v5e chip (the PyTorch reference publishes no numbers
-of its own — BASELINE.md).
+  mdx23c_2stem_rtf        MDX23C TFC-TDF v3 2-stem (InstVocHQ shape)
+  htdemucs_4stem_rtf      demucs4ht hybrid transformer, demucs-mode demix
+  scnet_melconf_rtf       SCNet 4-stem + mel-band conformer vocals chain
+  ensemble_pipeline_rtf   avg_wave ensemble + phase_fixer + Apollo restore
+  bs_roformer_vocals_rtf  flagship (LAST: the driver parses the final line)
 
-Prints exactly one JSON line.
+Each separates a synthetic 60 s 44.1 kHz stereo song through the on-device
+demix engine in bf16 and reports RTF = audio-seconds processed per
+wall-second per chip. vs_baseline is RTF / 20: the north-star target from
+BASELINE.json is >= 20x realtime per v5e chip on the flagship (the PyTorch
+reference publishes no numbers of its own — BASELINE.md).
+
+Model shapes mirror the reference's flagship community checkpoints:
+MDX23C InstVocHQ (reference model.py:631, mdx23c_tfc_tdf_v3.py:141-242),
+htdemucs_ft (demucs4ht.py:28-693), SCNet (scnet/scnet.py:230-373), mel-band
+conformer (mel_band_conformer.py), Apollo universal (look2hear).
 """
 
 import json
@@ -36,95 +45,254 @@ import jax.numpy as jnp
 
 from ml_collections import ConfigDict
 
-from sesa_tpu.models import bs_roformer
 from sesa_tpu.runtime import DemixSpec, demix
 
+SR = 44100
+SONG_SECONDS = 60
 
-def flagship_config():
-    return ConfigDict(
-        {
-            "model": dict(
-                dim=512,
-                depth=12,
-                stereo=True,
-                num_stems=1,
-                time_transformer_depth=1,
-                freq_transformer_depth=1,
-                dim_head=64,
-                heads=8,
-                stft_n_fft=2048,
-                stft_hop_length=512,
-                stft_win_length=2048,
-                mask_estimator_depth=2,
-            ),
-        }
+
+def make_song(seconds=SONG_SECONDS, seed=0, gain=0.3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(seconds * SR) / SR
+    song = (
+        gain * np.sin(2 * np.pi * 220 * t)
+        + 0.1 * rng.standard_normal(seconds * SR)
+    ).astype(np.float32)
+    mix = np.stack([song, 0.9 * song])
+    # real input is 16-bit PCM; quantizing keeps the benchmark honest and
+    # exercises the lossless int16 host->device upload path
+    return np.clip(np.round(mix * 32768), -32768, 32767).astype(np.float32) / 32768
+
+
+def timed(fn, runs):
+    """Compile (first call) then best-of-N timed runs. demix() returns host
+    numpy, so every timing ends with a device->host data fetch."""
+    t0 = time.time()
+    out = fn()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        out = fn()
+        times.append(time.time() - t0)
+    assert np.isfinite(out).all()
+    return min(times), compile_s
+
+
+def emit(metric, rtf, best, compile_s, **detail):
+    detail.update(
+        song_seconds=SONG_SECONDS,
+        best_wall_s=round(best, 3),
+        compile_s=round(compile_s, 1),
+        compute_dtype="bfloat16",
+        device=str(jax.devices()[0]),
     )
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rtf, 2),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(rtf / 20.0, 3),
+        "detail": detail,
+    }), flush=True)
 
 
-def main():
-    song_seconds = 60
-    sr = 44100
-    chunk = 352800  # 8 s, the reference default (gui.py:272-303)
-    # 60 s + borders = 17 chunks at overlap 2: one batch of 17 wastes zero
-    # forwards (any other size pads the tail batch with masked chunks)
-    batch = 17
+# --------------------------------------------------------------------------
+# configs
+# --------------------------------------------------------------------------
 
-    config = flagship_config()
+
+def bench_flagship(runs=5):
+    from sesa_tpu.models import bs_roformer
+
+    # viperx vocals architecture — reference model.py:650
+    config = ConfigDict({"model": dict(
+        dim=512, depth=12, stereo=True, num_stems=1,
+        time_transformer_depth=1, freq_transformer_depth=1,
+        dim_head=64, heads=8, stft_n_fft=2048, stft_hop_length=512,
+        stft_win_length=2048, mask_estimator_depth=2,
+    )})
     params = bs_roformer.init(jax.random.PRNGKey(0), config)
 
     def model_apply(p, chunks):
         return bs_roformer.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
-    spec = DemixSpec(chunk_size=chunk, num_overlap=2, batch_size=batch, num_stems=1)
+    # 60 s + borders = 17 chunks at overlap 2: one batch of 17 wastes zero
+    # forwards (any other size pads the tail batch with masked chunks)
+    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=17,
+                     num_stems=1)
+    mix = make_song()
+    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
+         chunk_size=352800, batch_size=17, num_overlap=2, dim=512, depth=12)
 
-    rng = np.random.default_rng(0)
-    t = np.arange(song_seconds * sr) / sr
-    song = (
-        0.3 * np.sin(2 * np.pi * 220 * t)
-        + 0.1 * rng.standard_normal(song_seconds * sr)
-    ).astype(np.float32)
-    mix = np.stack([song, 0.9 * song])
-    # real input is 16-bit PCM; quantizing keeps the benchmark honest and
-    # exercises the lossless int16 host->device upload path
-    mix = np.clip(np.round(mix * 32768), -32768, 32767).astype(np.float32) / 32768
 
-    # warmup / compile
-    t0 = time.time()
-    demix(model_apply, params, mix, spec)
-    compile_s = time.time() - t0
+def bench_mdx23c(runs=3):
+    from sesa_tpu.models import mdx23c
 
-    # timed runs (best-of-5: relay wall times swing ~10% run to run)
-    times = []
-    for _ in range(5):
-        t0 = time.time()
-        out = demix(model_apply, params, mix, spec)
-        times.append(time.time() - t0)
-    assert np.isfinite(out).all()
+    # InstVocHQ shape (SDR 10.17, reference model.py:631): dim_f 4096,
+    # n_fft 8192, 5 scales x 128ch + 128 growth, 4 subbands
+    config = ConfigDict({
+        "audio": dict(n_fft=8192, hop_length=1024, dim_f=4096,
+                      num_channels=2, chunk_size=261120, sample_rate=SR),
+        "model": dict(num_subbands=4, num_scales=5, scale=[2, 2],
+                      num_blocks_per_scale=2, num_channels=128, growth=128,
+                      bottleneck_factor=4, norm="InstanceNorm", act="gelu"),
+        "training": {"instruments": ["vocals", "other"],
+                     "target_instrument": None},
+    })
+    params = mdx23c.init(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
-    best = min(times)
-    rtf = song_seconds / best
-    print(
-        json.dumps(
-            {
-                "metric": "bs_roformer_vocals_rtf",
-                "value": round(rtf, 2),
-                "unit": "audio_sec_per_sec_per_chip",
-                "vs_baseline": round(rtf / 20.0, 3),
-                "detail": {
-                    "song_seconds": song_seconds,
-                    "chunk_size": chunk,
-                    "batch_size": batch,
-                    "num_overlap": 2,
-                    "best_wall_s": round(best, 3),
-                    "compile_s": round(compile_s, 1),
-                    "dim": 512,
-                    "depth": 12,
-                    "compute_dtype": "bfloat16",
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    def model_apply(p, chunks):
+        return mdx23c.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
+            jnp.float32)
+
+    spec = DemixSpec(chunk_size=261120, num_overlap=2, batch_size=4,
+                     num_stems=2)
+    mix = make_song()
+    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    emit("mdx23c_2stem_rtf", SONG_SECONDS / best, best, compile_s,
+         chunk_size=261120, batch_size=4, num_overlap=2,
+         dim_f=4096, num_scales=5, num_channels=128)
+
+
+def bench_htdemucs(runs=3):
+    from sesa_tpu.models import htdemucs
+
+    # htdemucs_ft shape (reference demucs4ht.py:28-693): 48ch, depth 4,
+    # nfft 4096, 5 cross-transformer layers @ dim 512
+    config = ConfigDict({
+        "model": "htdemucs",
+        "training": {"instruments": ["drums", "bass", "other", "vocals"],
+                     "channels": 2, "samplerate": SR, "segment": 11},
+        "htdemucs": dict(channels=48, growth=2, nfft=4096, depth=4,
+                         kernel_size=8, stride=4, norm_starts=4,
+                         norm_groups=4, dconv_depth=2, dconv_comp=8,
+                         t_layers=5, t_heads=8, t_hidden_scale=4.0,
+                         bottom_channels=512, freq_emb=0.2, emb_scale=10),
+    })
+    params = htdemucs.init(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def model_apply(p, chunks):
+        return htdemucs.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
+            jnp.float32)
+
+    # demucs-mode demix: plain averaging, zero-pad tail, no fade window
+    # (reference demix in processing: transition_power=1 shifts path)
+    spec = DemixSpec(chunk_size=11 * SR, num_overlap=2, batch_size=4,
+                     num_stems=4, demucs_mode=True)
+    mix = make_song()
+    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    emit("htdemucs_4stem_rtf", SONG_SECONDS / best, best, compile_s,
+         chunk_size=11 * SR, batch_size=4, num_overlap=2,
+         channels=48, t_layers=5, bottom_channels=512)
+
+
+def bench_scnet_melconf(runs=3):
+    """SCNet 4-stem then mel-band conformer vocals over the same song — the
+    BASELINE 'SCNet + mel-band conformer stems' config. RTF counts ONE pass
+    of the song through BOTH models (walls add)."""
+    from sesa_tpu.models import mel_band_conformer, scnet
+
+    scnet_config = ConfigDict({"model": dict(
+        dims=[4, 32, 64, 128], nfft=4096, hop_size=1024, win_size=4096,
+        normalized=True, num_dplayer=6, expand=1,
+    )})
+    sc_params = scnet.init(jax.random.PRNGKey(0), scnet_config)
+    sc_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), sc_params)
+
+    def sc_apply(p, chunks):
+        return scnet.apply(p, scnet_config, chunks.astype(jnp.bfloat16)).astype(
+            jnp.float32)
+
+    mc_config = ConfigDict({"model": dict(
+        dim=384, depth=8, stereo=True, num_stems=1, num_bands=60,
+        time_conformer_depth=1, freq_conformer_depth=1,
+        stft_n_fft=2048, stft_hop_length=512, stft_win_length=2048,
+    )})
+    mc_params = mel_band_conformer.init(jax.random.PRNGKey(1), mc_config)
+    mc_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), mc_params)
+
+    def mc_apply(p, chunks):
+        return mel_band_conformer.apply(
+            p, mc_config, chunks.astype(jnp.bfloat16)).astype(jnp.float32)
+
+    sc_spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=8,
+                        num_stems=4)
+    mc_spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=8,
+                        num_stems=1)
+    mix = make_song()
+
+    def run():
+        a = demix(sc_apply, sc_params, mix, sc_spec)
+        b = demix(mc_apply, mc_params, mix, mc_spec)
+        return np.concatenate([a.reshape(4, -1), b.reshape(1, -1)], axis=0)
+
+    best, compile_s = timed(run, runs)
+    emit("scnet_melconf_rtf", SONG_SECONDS / best, best, compile_s,
+         chunk_size=352800, batch_size=8, num_overlap=2,
+         scnet_dims=[4, 32, 64, 128], melconf_dim=384, melconf_depth=8)
+
+
+def bench_ensemble_pipeline(runs=3):
+    """Ensemble (avg_wave) of three model outputs + phase_fixer + Apollo
+    restoration — the BASELINE post-processing mesh config. The stem inputs
+    are synthetic (the model forwards are benched above); this measures the
+    on-device post chain end to end."""
+    from sesa_tpu.models import apollo
+    from sesa_tpu.postprocess.ensemble import ensemble_waveforms
+    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
+
+    waves = [make_song(seed=s, gain=0.25 + 0.02 * s) for s in range(3)]
+    source = make_song(seed=9)
+
+    # Apollo universal model shape (look2hear): 44.1k, 20ms win, 256 feat,
+    # 6 layers; GUI default chunk 19 s (apollo_processing.py)
+    config = ConfigDict({"model": dict(sr=SR, win=20, feature_dim=256,
+                                       layer=6)})
+    params = apollo.init(jax.random.PRNGKey(0), config)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    def ap_apply(p, chunks):
+        return apollo.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
+            jnp.float32)
+
+    spec = DemixSpec(chunk_size=19 * SR, num_overlap=2, batch_size=2,
+                     num_stems=1)
+
+    def run():
+        ens = ensemble_waveforms(waves, "avg_wave")
+        fixed = phase_fix_arrays(source, ens, SR)
+        restored = demix(ap_apply, params, fixed, spec)
+        return np.asarray(restored)
+
+    best, compile_s = timed(run, runs)
+    emit("ensemble_pipeline_rtf", SONG_SECONDS / best, best, compile_s,
+         n_models=3, method="avg_wave", apollo_chunk_s=19,
+         apollo_feature_dim=256, apollo_layers=6)
+
+
+CONFIGS = {
+    "mdx23c": bench_mdx23c,
+    "htdemucs": bench_htdemucs,
+    "scnet_melconf": bench_scnet_melconf,
+    "ensemble": bench_ensemble_pipeline,
+    "flagship": bench_flagship,  # last: the driver parses the final line
+}
+
+
+def main():
+    only = [s for s in os.environ.get("SESA_BENCH_ONLY", "").split(",") if s]
+    for name, fn in CONFIGS.items():
+        if only and name not in only:
+            continue
+        try:
+            fn()
+        except Exception as e:  # one config failing must not kill the rest
+            print(json.dumps({"metric": f"{name}_error", "value": 0,
+                              "unit": "error", "vs_baseline": 0,
+                              "detail": {"error": repr(e)[:300]}}), flush=True)
 
 
 if __name__ == "__main__":

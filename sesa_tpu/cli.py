@@ -72,6 +72,10 @@ def main(argv=None) -> int:
 
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from sesa_tpu.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from sesa_tpu.audio_io import read_audio, write_audio

@@ -57,8 +57,11 @@ def _make_session(model_name: str, chunk_size, overlap, use_native_chunk=True,
                   compute_dtype="bf16"):
     import jax.numpy as jnp
 
+    from sesa_tpu.cache import enable_persistent_cache
     from sesa_tpu.registry import get_model_chunk_size, get_model_config
     from sesa_tpu.runtime.session import InferenceSession
+
+    enable_persistent_cache()
 
     model_type, config_path, ckpt_path = get_model_config(
         clean_model(model_name), chunk_size, overlap)
