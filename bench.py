@@ -141,11 +141,9 @@ def bench_mdx23c(runs=3):
                      "target_instrument": None},
     })
     params = mdx23c.init(jax.random.PRNGKey(0), config)
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     def model_apply(p, chunks):
-        return mdx23c.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
-            jnp.float32)
+        return mdx23c.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
     spec = DemixSpec(chunk_size=261120, num_overlap=2, batch_size=4,
                      num_stems=2)
@@ -172,11 +170,9 @@ def bench_htdemucs(runs=3):
                          bottom_channels=512, freq_emb=0.2, emb_scale=10),
     })
     params = htdemucs.init(jax.random.PRNGKey(0), config)
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     def model_apply(p, chunks):
-        return htdemucs.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
-            jnp.float32)
+        return htdemucs.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
     # demucs-mode demix: plain averaging, zero-pad tail, no fade window
     # (reference demix in processing: transition_power=1 shifts path)
@@ -200,11 +196,9 @@ def bench_scnet_melconf(runs=3):
         normalized=True, num_dplayer=6, expand=1,
     )})
     sc_params = scnet.init(jax.random.PRNGKey(0), scnet_config)
-    sc_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), sc_params)
 
     def sc_apply(p, chunks):
-        return scnet.apply(p, scnet_config, chunks.astype(jnp.bfloat16)).astype(
-            jnp.float32)
+        return scnet.apply(p, scnet_config, chunks, compute_dtype=jnp.bfloat16)
 
     mc_config = ConfigDict({"model": dict(
         dim=384, depth=8, stereo=True, num_stems=1, num_bands=60,
@@ -212,11 +206,10 @@ def bench_scnet_melconf(runs=3):
         stft_n_fft=2048, stft_hop_length=512, stft_win_length=2048,
     )})
     mc_params = mel_band_conformer.init(jax.random.PRNGKey(1), mc_config)
-    mc_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), mc_params)
 
     def mc_apply(p, chunks):
-        return mel_band_conformer.apply(
-            p, mc_config, chunks.astype(jnp.bfloat16)).astype(jnp.float32)
+        return mel_band_conformer.apply(p, mc_config, chunks,
+                                        compute_dtype=jnp.bfloat16)
 
     sc_spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=8,
                         num_stems=4)
@@ -252,11 +245,9 @@ def bench_ensemble_pipeline(runs=3):
     config = ConfigDict({"model": dict(sr=SR, win=20, feature_dim=256,
                                        layer=6)})
     params = apollo.init(jax.random.PRNGKey(0), config)
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     def ap_apply(p, chunks):
-        return apollo.apply(p, config, chunks.astype(jnp.bfloat16)).astype(
-            jnp.float32)
+        return apollo.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
     spec = DemixSpec(chunk_size=19 * SR, num_overlap=2, batch_size=2,
                      num_stems=1)

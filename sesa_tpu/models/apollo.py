@@ -39,7 +39,8 @@ def _dims(config):
 
 
 def _rms_norm_channels(x, weight, eps=1e-5):
-    """Apollo RMSNorm on (..., N, T): rms over the channel axis."""
+    """Apollo RMSNorm on (..., N, T): rms over the channel axis.
+    Statistics accumulate in float32 under a bf16 compute dtype."""
     xf = x.astype(jnp.float32)
     norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-2, keepdims=True) + eps)
     return norm.astype(x.dtype) * weight[..., :, None]
@@ -136,6 +137,9 @@ def _roformer_apply(p, x, num_head=8, precision=_HIGHEST):
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     cos, sin = _apollo_rope(hidden, t)
+    # tables are built in f32; drop to the network dtype so bf16 stays bf16
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
     q = q * cos + _rotate_pairs(q) * sin
     k = k * cos + _rotate_pairs(k) * sin
 
@@ -167,8 +171,11 @@ def _conv_act_norm_apply(p, x, kernel=7, precision=_HIGHEST):
     return x + y
 
 
-def apply(params, config, x, precision=None):
-    """(B, ch, T) -> (B, 1, ch, T) restored audio (single 'stem')."""
+def apply(params, config, x, precision=None, compute_dtype=None):
+    """(B, ch, T) -> (B, 1, ch, T) restored audio (single 'stem').
+
+    ``compute_dtype``: run the band/roformer/seq-conv net in this dtype
+    (bf16 on TPU); STFT/iSTFT and band feature extraction stay float32."""
     precision = precision or _HIGHEST
     sr, win, stride, enc_dim, n, layer, band_width = _dims(config)
     bw = band_width[0]
@@ -190,11 +197,15 @@ def apply(params, config, x, precision=None):
         return jnp.concatenate([re, im, jnp.log(p1)], axis=-2)  # (..., 2BW+1, T)
 
     feat_uni = band_features(uni)  # (B', 79, 2bw+1, T)
+    feat_last = band_features(last)
+    if compute_dtype is not None:
+        feat_uni = feat_uni.astype(compute_dtype)
+        feat_last = feat_last.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     feat_uni = _rms_norm_channels(feat_uni, params["bn_norm"])
     feat_uni = jnp.einsum("bmct,moc->bmot", feat_uni, params["bn_w"],
                           precision=precision) + params["bn_b"][None, :, :, None]
 
-    feat_last = band_features(last)
     feat_last = _rms_norm_channels(feat_last, params["bn_norm_last"])
     feat_last = jnp.einsum("bct,oc->bot", feat_last, params["bn_w_last"],
                            precision=precision) + params["bn_b_last"][None, :, None]
@@ -233,7 +244,8 @@ def apply(params, config, x, precision=None):
          hl],
         axis=2,
     )  # (B', 2, F, T)
-    spec_ri = jnp.stack([spec_out[:, 0], spec_out[:, 1]], axis=-1)  # (B', F, T, 2)
+    spec_ri = jnp.stack([spec_out[:, 0], spec_out[:, 1]],
+                        axis=-1).astype(jnp.float32)  # (B', F, T, 2)
 
     wav = istft_ri(spec_ri, win, stride, window, length=nsample)
     return wav.reshape(b, 1, ch, nsample)

@@ -271,8 +271,13 @@ def _head_apply(p, x, k_out, precision=_HIGHEST):
                     precision=precision)
 
 
-def apply(params, config, x, precision=None):
-    """(B, ch, T) -> (B, num_output, ch, T)."""
+def apply(params, config, x, precision=None, compute_dtype=None):
+    """(B, ch, T) -> (B, num_output, ch, T).
+
+    ``compute_dtype``: run the band bottlenecks / bi-Mamba separators /
+    GLU heads in this dtype (bf16 on TPU); STFT/iSTFT and the complex
+    mask application stay float32 (the SSD scan accumulates f32 in its
+    fused kernel regardless)."""
     precision = precision or _HIGHEST
     kw = _model_kwargs(config)
     widths = band_widths(kw["sr"], kw["win"])
@@ -288,6 +293,9 @@ def apply(params, config, x, precision=None):
 
     # (B', 2, F, T) real/imag as channels
     spec_ri = jnp.stack([spec[..., 0], spec[..., 1]], axis=1)
+    if compute_dtype is not None:
+        spec_ri = spec_ri.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
     def bottleneck(bn_params, start, bw):
         sub = spec_ri[:, :, start : start + bw]  # (B', 2, bw, T)
@@ -327,6 +335,7 @@ def apply(params, config, x, precision=None):
         sub_im = spec[..., 1][:, start : start + bw]
 
         out = _head_apply(params["mask"][i], sep_mask[:, i], k_out, precision)
+        out = out.astype(jnp.float32)  # masks apply to the f32 spectrum
         out = out.reshape(bsz * nch, 2, 2, k_out, bw, t)
         m = out[:, 0] * jax.nn.sigmoid(out[:, 1])  # (B', 2, K, bw, T)
         m_re, m_im = m[:, 0], m[:, 1]
@@ -337,6 +346,7 @@ def apply(params, config, x, precision=None):
         est_im = sub_re[:, None] * m_im + sub_im[:, None] * m_re
 
         out2 = _head_apply(params["map"][i], sep_map[:, i], k_out, precision)
+        out2 = out2.astype(jnp.float32)
         out2 = out2.reshape(bsz * nch, 2, 2, k_out, bw, t)
         mp = out2[:, 0] * jax.nn.sigmoid(out2[:, 1])
         est_parts.append(jnp.stack([est_re + mp[:, 0], est_im + mp[:, 1]], axis=-1))

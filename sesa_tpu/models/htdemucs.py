@@ -468,8 +468,12 @@ def _t_cross_layer(p, q, kv, heads, precision):
 # apply
 # --------------------------------------------------------------------------
 
-def apply(params, config, mix, precision=None):
-    """(B, ch, T) -> (B, sources, ch, T)."""
+def apply(params, config, mix, precision=None, compute_dtype=None):
+    """(B, ch, T) -> (B, sources, ch, T).
+
+    ``compute_dtype``: run the encoder/transformer/decoder net in this
+    dtype (bf16 on TPU); STFT/iSTFT, mix statistics, and the Wiener/CaC
+    output assembly stay float32."""
     precision = precision or _HIGHEST
     kw = _kwargs(config)
     plan = _layer_plan(kw)
@@ -511,6 +515,11 @@ def apply(params, config, mix, precision=None):
     meant = xt.mean(axis=(1, 2), keepdims=True)
     stdt = xt.std(axis=(1, 2), keepdims=True)
     xt = (xt - meant) / (1e-5 + stdt)
+
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        xt = xt.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
     saved, saved_t, lengths, lengths_t = [], [], [], []
     for idx, lp in enumerate(plan):
@@ -559,13 +568,14 @@ def apply(params, config, mix, precision=None):
     tok = jnp.transpose(x, (0, 3, 2, 1)).reshape(bb, t1 * fr, cc)
     pos_tok = jnp.transpose(pos2d, (0, 3, 2, 1)).reshape(1, t1 * fr, cc)
     tok = L.layer_norm(tok, ct["norm_in"])
-    tok = tok + kw["t_weight_pos_embed"] * pos_tok
+    # position tables are built in f32; cast so bf16 tokens stay bf16
+    tok = tok + (kw["t_weight_pos_embed"] * pos_tok).astype(tok.dtype)
 
     t2 = xt.shape[-1]
     tokt = jnp.swapaxes(xt, 1, 2)
     tokt = L.layer_norm(tokt, ct["norm_in_t"])
-    tokt = tokt + kw["t_weight_pos_embed"] * _sin_embedding_1d(
-        t2, cc, kw["t_max_period"])
+    tokt = tokt + (kw["t_weight_pos_embed"] * _sin_embedding_1d(
+        t2, cc, kw["t_max_period"])).astype(tokt.dtype)
 
     parity = 1 if kw["t_cross_first"] else 0
     for i in range(kw["t_layers"]):
@@ -614,7 +624,9 @@ def apply(params, config, mix, precision=None):
                                     chin=lp["chout"], last=lp["index"] == 0,
                                     precision=precision)
 
-    # ---- output assembly ----
+    # ---- output assembly (float32) ----
+    x = x.astype(jnp.float32)
+    xt = xt.astype(jnp.float32)
     if subs > 1:
         # cws2cac: subband channels back onto the frequency axis
         # (reference demucs4ht.py:541-546,663-666)

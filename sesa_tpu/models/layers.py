@@ -187,29 +187,41 @@ def bilstm(x, params, precision=DEFAULT_PRECISION):
 # --------------------------------------------------------------------------
 
 def instance_norm2d(x, params, eps=1e-5):
-    """torch nn.InstanceNorm2d(affine=True) on NCHW: per-sample per-channel."""
-    mean = x.mean(axis=(2, 3), keepdims=True)
-    var = x.var(axis=(2, 3), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    """torch nn.InstanceNorm2d(affine=True) on NCHW: per-sample per-channel.
+
+    Statistics accumulate in float32 even under a bf16 compute dtype
+    (mean/var of large spatial planes lose too much in bf16); only the
+    normalized result drops back to x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(2, 3), keepdims=True)
+    var = xf.var(axis=(2, 3), keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return y * params["weight"][None, :, None, None] + params["bias"][None, :, None, None]
 
 
 def group_norm(x, params, num_groups, eps=1e-5):
-    """torch nn.GroupNorm on (B, C, *spatial) for any spatial rank."""
+    """torch nn.GroupNorm on (B, C, *spatial) for any spatial rank.
+    Statistics accumulate in float32 (see instance_norm2d)."""
     b, c = x.shape[:2]
     spatial = x.shape[2:]
-    xg = x.reshape(b, num_groups, -1)
+    xg = x.reshape(b, num_groups, -1).astype(jnp.float32)
     mean = xg.mean(axis=-1, keepdims=True)
     var = xg.var(axis=-1, keepdims=True)
-    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype).reshape(x.shape)
     shape = (1, c) + (1,) * len(spatial)
     return y * params["weight"].reshape(shape) + params["bias"].reshape(shape)
 
 
 def batch_norm2d(x, params, eps=1e-5):
-    """torch nn.BatchNorm2d in eval mode (running stats)."""
-    scale = params["weight"] * jax.lax.rsqrt(params["running_var"] + eps)
-    shift = params["bias"] - params["running_mean"] * scale
+    """torch nn.BatchNorm2d in eval mode (running stats). The folded
+    scale/shift are computed in float32 (rsqrt of bf16 running_var would
+    double the rounding error) then applied in x.dtype."""
+    w = params["weight"].astype(jnp.float32)
+    scale = w * jax.lax.rsqrt(params["running_var"].astype(jnp.float32) + eps)
+    shift = (params["bias"].astype(jnp.float32)
+             - params["running_mean"].astype(jnp.float32) * scale)
+    scale = scale.astype(x.dtype)
+    shift = shift.astype(x.dtype)
     return x * scale[None, :, None, None] + shift[None, :, None, None]
 
 

@@ -184,11 +184,14 @@ def _cws2cac(x, k):
     return x.reshape(b, c // k, k, f, t).reshape(b, c // k, f * k, t)
 
 
-def apply(params, config, x, transform=None, hartley=False):
+def apply(params, config, x, transform=None, hartley=False,
+          compute_dtype=None):
     """(B, ch, T) -> (B, S, ch, T) separated stems.
 
     ``transform``: optional (analysis, synthesis) override — used by the
-    Hartley variant; defaults to the torch-compatible STFT pair."""
+    Hartley variant; defaults to the torch-compatible STFT pair.
+    ``compute_dtype``: run the conv net in this dtype (bf16 on TPU); the
+    STFT analysis/synthesis and norm statistics stay float32."""
     k, dim_c, n, scale, l, c, g, bn, f = _dims(config, hartley)
     norm_fn, _ = L.make_norm2d(config.model.norm)
     act = L.make_act(config.model.act)
@@ -197,6 +200,9 @@ def apply(params, config, x, transform=None, hartley=False):
 
     analysis, synthesis = transform or (spectrogram, inverse_spectrogram)
     spec = analysis(x, config)  # (B, ch*2, dim_f, T) (or (B, ch, n_fft, T) Hartley)
+    if compute_dtype is not None:
+        spec = spec.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
     mix = xx = _cac2cws(spec, k)  # (B, dim_c, f, T)
 
     first_out = xx = L.conv2d(xx, params["first_conv"])
@@ -226,6 +232,7 @@ def apply(params, config, x, transform=None, hartley=False):
     xx = _cws2cac(xx, k)  # (B, S*ch*2, dim_f, T)
 
     b = xx.shape[0]
+    xx = xx.astype(jnp.float32)  # synthesis runs float32
     xx = xx.reshape(b, s_stems, dim_c // k, xx.shape[-2], xx.shape[-1])
     wav = synthesis(xx, config, length)  # (B, S, ch, T')
     # torch.istft with center=True returns hop*(frames-1) samples; the input

@@ -68,8 +68,11 @@ def init(rng, config):
     }
 
 
-def apply(params, config, x, precision=None):
-    """(B, ch, T) -> (B, num_stems, ch, T)."""
+def apply(params, config, x, precision=None, compute_dtype=None):
+    """(B, ch, T) -> (B, num_stems, ch, T).
+
+    ``compute_dtype``: run the band-split/conformer/mask net in this dtype
+    (bf16 on TPU); STFT/iSTFT and the mask application stay float32."""
     precision = precision or _HIGHEST
     kw = _kwargs(config)
     plan = _plan(kw)
@@ -82,7 +85,11 @@ def apply(params, config, x, precision=None):
     n_features = plan.num_features
     sp = jnp.transpose(s, (0, 3, 2, 1, 4)).reshape(b, tf, n_features)
 
-    xb = B.band_split_apply(plan, params["band_split"], sp, precision=precision)
+    net_in = sp if compute_dtype is None else sp.astype(compute_dtype)
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+    xb = B.band_split_apply(plan, params["band_split"], net_in,
+                            precision=precision)
     nb, dim = plan.num_bands, kw["dim"]
 
     for layer in params["layers"]:

@@ -316,8 +316,11 @@ def _feature_conversion(x, inverse):
     return jnp.concatenate([spec[..., 0], spec[..., 1]], axis=1)
 
 
-def apply(params, config, x, variant="lstm"):
-    """(B, ch, T) -> (B, sources, ch, T)."""
+def apply(params, config, x, variant="lstm", compute_dtype=None):
+    """(B, ch, T) -> (B, sources, ch, T).
+
+    ``compute_dtype``: run the encoder/dual-path/decoder net in this dtype
+    (bf16 on TPU); STFT/iSTFT and the mask application stay float32."""
     kw = _model_kwargs(config, variant)
     b, ch, length = x.shape
     hop = kw["hop_size"]
@@ -339,6 +342,10 @@ def apply(params, config, x, variant="lstm"):
     z = spec.reshape(b, ch * 2, fr, t)
     mixture = z
 
+    if compute_dtype is not None:
+        z = z.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+
     if variant == "masked":
         z = z + params["pos_embed_f"][:, :, :fr, :]
 
@@ -346,7 +353,7 @@ def apply(params, config, x, variant="lstm"):
     if variant == "tran":
         from sesa_tpu.ops.rope import rope_tables
 
-        rope_time = rope_tables(params["rope_time_freqs"], t)
+        rope_time = rope_tables(params["rope_time_freqs"].astype(jnp.float32), t)
         rope_freq = None  # band count varies per layer input; computed below
 
     skips, lens, olens = [], [], []
@@ -363,12 +370,20 @@ def apply(params, config, x, variant="lstm"):
             from sesa_tpu.ops.rope import rope_tables
 
             cur_t = z.shape[-1]
-            rt = rope_tables(params["rope_time_freqs"], cur_t)
-            rf = rope_tables(params["rope_freq_freqs"], z.shape[-2])
+            # build angles in f32 (bf16 angles lose phase accuracy), then
+            # drop the tables to the network dtype
+            rt = rope_tables(params["rope_time_freqs"].astype(jnp.float32), cur_t)
+            rf = rope_tables(params["rope_freq_freqs"].astype(jnp.float32), z.shape[-2])
+            if compute_dtype is not None:
+                rt = tuple(r.astype(compute_dtype) for r in rt)
+                rf = tuple(r.astype(compute_dtype) for r in rf)
             z = _apply_dual_path_tran(layer, z, rt, rf, kw)
         else:
             z = _apply_dual_path(layer, z)
         z = _feature_conversion(z, inverse=(i % 2 == 1))
+        if compute_dtype is not None:
+            # the GEMM-native rDFT runs against f32 tables and promotes
+            z = z.astype(compute_dtype)
 
     for blk in params["decoder"]:
         skip = skips.pop()
@@ -399,6 +414,7 @@ def apply(params, config, x, variant="lstm"):
 
     n = kw["dims"][0]
     n_sources = len(kw["sources"])
+    z = z.astype(jnp.float32)  # mask application + iSTFT run float32
 
     if variant == "masked":
         # predict a complex mask and apply it to the tiled mixture
