@@ -79,7 +79,7 @@ def timed(fn, runs):
     return min(times), compile_s
 
 
-def emit(metric, rtf, best, compile_s, **detail):
+def emit(metric, rtf, best, compile_s, hold=False, **detail):
     detail.update(
         song_seconds=SONG_SECONDS,
         best_wall_s=round(best, 3),
@@ -87,13 +87,16 @@ def emit(metric, rtf, best, compile_s, **detail):
         compute_dtype="bfloat16",
         device=str(jax.devices()[0]),
     )
-    print(json.dumps({
+    line = json.dumps({
         "metric": metric,
         "value": round(rtf, 2),
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(rtf / 20.0, 3),
         "detail": detail,
-    }), flush=True)
+    })
+    if hold:
+        return line
+    print(line, flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -101,7 +104,7 @@ def emit(metric, rtf, best, compile_s, **detail):
 # --------------------------------------------------------------------------
 
 
-def bench_flagship(runs=5):
+def bench_flagship(runs=5, hold=False):
     from sesa_tpu.models import bs_roformer
 
     # viperx vocals architecture — reference model.py:650
@@ -122,8 +125,9 @@ def bench_flagship(runs=5):
                      num_stems=1)
     mix = make_song()
     best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
-    emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
-         chunk_size=352800, batch_size=17, num_overlap=2, dim=512, depth=12)
+    return emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
+                hold=hold, chunk_size=352800, batch_size=17, num_overlap=2,
+                dim=512, depth=12)
 
 
 def bench_mdx23c(runs=3):
@@ -269,14 +273,35 @@ CONFIGS = {
     "htdemucs": bench_htdemucs,
     "scnet_melconf": bench_scnet_melconf,
     "ensemble": bench_ensemble_pipeline,
-    "flagship": bench_flagship,  # last: the driver parses the final line
 }
 
 
 def main():
+    """Flagship RUNS first (so a compile blow-up in a secondary config can
+    never lose the headline number) but PRINTS last — the driver parses
+    the final JSON line. Secondary configs share a wall-clock budget
+    (SESA_BENCH_BUDGET_S, default 45 min; their compiles are minutes-long
+    cold but cached across runs)."""
     only = [s for s in os.environ.get("SESA_BENCH_ONLY", "").split(",") if s]
+    budget = float(os.environ.get("SESA_BENCH_BUDGET_S", "2700"))
+    t_start = time.time()
+
+    flagship_line = None
+    if not only or "flagship" in only:
+        try:
+            flagship_line = bench_flagship(hold=True)
+        except Exception as e:
+            flagship_line = json.dumps(
+                {"metric": "flagship_error", "value": 0, "unit": "error",
+                 "vs_baseline": 0, "detail": {"error": repr(e)[:300]}})
+
     for name, fn in CONFIGS.items():
         if only and name not in only:
+            continue
+        if time.time() - t_start > budget:
+            print(json.dumps({"metric": f"{name}_skipped", "value": 0,
+                              "unit": "skipped_over_budget", "vs_baseline": 0,
+                              "detail": {"budget_s": budget}}), flush=True)
             continue
         try:
             fn()
@@ -284,6 +309,8 @@ def main():
             print(json.dumps({"metric": f"{name}_error", "value": 0,
                               "unit": "error", "vs_baseline": 0,
                               "detail": {"error": repr(e)[:300]}}), flush=True)
+    if flagship_line:
+        print(flagship_line, flush=True)
 
 
 if __name__ == "__main__":

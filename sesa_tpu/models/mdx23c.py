@@ -15,6 +15,8 @@ drop in without transposes. Spatial dims inside the U-Net are (T, F)
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -130,15 +132,40 @@ def init(rng, config, hartley=False):
 # apply
 # --------------------------------------------------------------------------
 
+_SCAN_BLOCKS = int(os.environ.get("SESA_MDX23C_SCAN_BLOCKS", "1"))
+
+
+def _tfc_tdf_block(b, x, norm_fn, act):
+    s = L.conv2d(x, b["shortcut"])
+    x = L.conv2d(act(norm_fn(x, b["tfc1_norm"])), b["tfc1_conv"], padding=(1, 1))
+    t = L.linear(act(norm_fn(x, b["tdf_norm1"])), b["tdf_lin1"])
+    t = L.linear(act(norm_fn(t, b["tdf_norm2"])), b["tdf_lin2"])
+    x = x + t
+    x = L.conv2d(act(norm_fn(x, b["tfc2_norm"])), b["tfc2_conv"], padding=(1, 1))
+    return x + s
+
+
 def _apply_tfc_tdf(blocks, x, norm_fn, act):
+    # blocks within a scale group share every param shape (channel changes
+    # live in the down/up convs), so run them as ONE lax.scan body instead
+    # of unrolling: the InstVocHQ-size program (5 scales x 2 blocks + deep
+    # decoder) otherwise blows past the remote compiler's budget
+    ref = jax.tree.leaves(blocks[0])
+    uniform = all(
+        tuple(l.shape for l in jax.tree.leaves(b)) ==
+        tuple(l.shape for l in ref)
+        for b in blocks[1:]
+    )
+    if _SCAN_BLOCKS and len(blocks) > 1 and uniform:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+        def body(z, blk):
+            return _tfc_tdf_block(blk, z, norm_fn, act), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x
     for b in blocks:
-        s = L.conv2d(x, b["shortcut"])
-        x = L.conv2d(act(norm_fn(x, b["tfc1_norm"])), b["tfc1_conv"], padding=(1, 1))
-        t = L.linear(act(norm_fn(x, b["tdf_norm1"])), b["tdf_lin1"])
-        t = L.linear(act(norm_fn(t, b["tdf_norm2"])), b["tdf_lin2"])
-        x = x + t
-        x = L.conv2d(act(norm_fn(x, b["tfc2_norm"])), b["tfc2_conv"], padding=(1, 1))
-        x = x + s
+        x = _tfc_tdf_block(b, x, norm_fn, act)
     return x
 
 
