@@ -9,13 +9,15 @@ application happens in the model files by reshaping leading dims.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from sesa_tpu.models import hyper_connections as HC
 from sesa_tpu.models.layers import kaiming_uniform, rms_norm
 from sesa_tpu.ops.attention import (_use_fused, fused_attention_block,
-                                    l2norm, sdpa)
+                                    l2norm, sdpa, sdpa_int8)
 from sesa_tpu.ops.ff import fused_ff_residual, use_fused_ff
 from sesa_tpu.ops.rope import apply_rope
 
@@ -132,7 +134,11 @@ def attention_apply(p, x, heads, rope=None, precision=_HIGHEST,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    out = sdpa(q, k, v, precision=precision)  # (b, h, n, dh)
+    if os.environ.get("SESA_INT8_ATTN"):
+        # SageAttention analog (reference attend_sage.py): opt-in int8 QK^T
+        out = sdpa_int8(q, k, v)
+    else:
+        out = sdpa(q, k, v, precision=precision)  # (b, h, n, dh)
 
     gates = jnp.einsum("bnd,hd->bnh", xn, p["gates_w"], precision=precision)
     gates = gates + p["gates_b"]

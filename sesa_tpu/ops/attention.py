@@ -58,6 +58,51 @@ def l2norm(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(n, eps)
 
 
+def sdpa_int8(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """INT8-quantized attention — the TPU analog of the reference's
+    optional SageAttention path (reference bs_roformer/attend_sage.py:
+    int8 QK^T with K smoothing, high-precision softmax and PV).
+
+    Per-token symmetric quantization: each query/key row gets its own
+    scale, so the int8 QK^T dequantizes exactly per (i, j) pair. K is
+    mean-centered first ("smoothing") — the removed component contributes
+    q·k_mean equally to every logit in a row, which softmax cancels, so
+    no correction term is needed. The logit matmul runs on the MXU's
+    int8 path (int32 accumulation); softmax stays f32 and PV stays in
+    the input dtype. Opt-in (SESA_INT8_ATTN=1): quantization error is
+    larger than bf16 — acceptable for preview-grade separation, not for
+    mastering.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    def quant(x):
+        xf = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+        s = jnp.maximum(s, 1e-8)
+        x8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return x8, s
+
+    km = k.mean(axis=-2, keepdims=True)
+    q8, qs = quant(q)
+    k8, ks = quant(k - km)
+
+    sim = jax.lax.dot_general(
+        q8, k8,
+        ((( q8.ndim - 1,), (k8.ndim - 1,)),
+         (tuple(range(q8.ndim - 2)), tuple(range(k8.ndim - 2)))),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    sim = sim * (qs * jnp.swapaxes(ks, -1, -2)) * scale
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    return jnp.einsum("...ij,...jd->...id", attn, v)
+
+
 # ---------------------------------------------------------------------------
 # Pallas whole-sequence VMEM attention
 # ---------------------------------------------------------------------------
@@ -489,6 +534,8 @@ def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
         # f32 parity mode keeps the unfused HIGHEST-precision path
         return False
     if os.environ.get("SESA_NO_FUSED"):  # debugging / A-B kill switch
+        return False
+    if os.environ.get("SESA_INT8_ATTN"):  # int8 attention runs unfused
         return False
     try:
         return jax.devices()[0].platform != "cpu"
