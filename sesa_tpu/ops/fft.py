@@ -55,12 +55,50 @@ def _irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
     return ci, si
 
 
+# Above this transform size the f32 basis matrices are generated ON DEVICE
+# from integer iotas instead of baked into the program as constants: at
+# n_fft 8192 the baked cos/sin planes alone are ~270 MB of HLO constants,
+# which blows past the remote compiler's request limit (HTTP 413). The
+# integer (t*k) mod n reduction keeps every angle in [0, 2pi) exactly, so
+# device-side f32 cos/sin match the host f64-then-cast tables to ~1e-7.
+# int32 products stay exact up to n = 32768.
+_DEVICE_MATS_MIN_N = 4096
+
+
+def _dft_angles(rows: int, cols: int, n: int) -> jax.Array:
+    t = jax.lax.iota(jnp.int32, rows)
+    k = jax.lax.iota(jnp.int32, cols)
+    phase = (t[:, None] * k[None, :]) % n
+    return phase.astype(jnp.float32) * jnp.float32(2.0 * np.pi / n)
+
+
+def _rdft_mats_dev(n: int) -> tuple[jax.Array, jax.Array]:
+    assert n <= 32768, "int32 phase reduction limit"
+    ang = _dft_angles(n, n // 2 + 1, n)  # = +2pi t k / n
+    return jnp.cos(ang), -jnp.sin(ang)  # forward kernel uses -2pi t k / n
+
+
+def _irdft_mats_dev(n: int) -> tuple[jax.Array, jax.Array]:
+    assert n <= 32768, "int32 phase reduction limit"
+    nk = n // 2 + 1
+    ang = _dft_angles(nk, n, n)
+    k = jax.lax.iota(jnp.int32, nk)
+    w = jnp.where((k == 0) | ((n % 2 == 0) & (k == nk - 1)), 1.0, 2.0)
+    ci = w[:, None] * jnp.cos(ang) * (1.0 / n)
+    si = -w[:, None] * jnp.sin(ang) * (1.0 / n)
+    return ci, si
+
+
 def rdft(x: jax.Array) -> jax.Array:
     """Real DFT: (..., N) real -> (..., N//2+1, 2) RI spectrum."""
     n = x.shape[-1]
-    c, s = _rdft_mats(n)
-    re = jnp.matmul(x, jnp.asarray(c), precision=_HIGHEST)
-    im = jnp.matmul(x, jnp.asarray(s), precision=_HIGHEST)
+    if n >= _DEVICE_MATS_MIN_N:
+        c, s = _rdft_mats_dev(n)
+    else:
+        ch, sh = _rdft_mats(n)
+        c, s = jnp.asarray(ch), jnp.asarray(sh)
+    re = jnp.matmul(x, c, precision=_HIGHEST)
+    im = jnp.matmul(x, s, precision=_HIGHEST)
     return jnp.stack([re, im], axis=-1)
 
 
@@ -77,9 +115,13 @@ def irdft_ortho(spec_ri: jax.Array, n: int) -> jax.Array:
 
 def irdft(spec_ri: jax.Array, n: int) -> jax.Array:
     """Inverse real DFT: (..., N//2+1, 2) RI spectrum -> (..., N) real."""
-    ci, si = _irdft_mats(n)
+    if n >= _DEVICE_MATS_MIN_N:
+        ci, si = _irdft_mats_dev(n)
+    else:
+        cih, sih = _irdft_mats(n)
+        ci, si = jnp.asarray(cih), jnp.asarray(sih)
     re = spec_ri[..., 0]
     im = spec_ri[..., 1]
-    return jnp.matmul(re, jnp.asarray(ci), precision=_HIGHEST) + jnp.matmul(
-        im, jnp.asarray(si), precision=_HIGHEST
+    return jnp.matmul(re, ci, precision=_HIGHEST) + jnp.matmul(
+        im, si, precision=_HIGHEST
     )
