@@ -61,10 +61,18 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
     row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
     tril = row >= col
+    # Mosaic has no cumsum lowering; an inclusive prefix sum is a matmul
+    # against the lower-triangular ones matrix (MXU-native anyway)
+    trilf = jnp.where(tril, 1.0, 0.0)
 
     p = x_ref.shape[-1]
     for h in range(heads):
-        ah = jnp.cumsum(a_ref[0, 0, h].astype(jnp.float32))  # (Q,) <= 0
+        av = a_ref[0, 0, h].astype(jnp.float32).reshape(q, 1)
+        ah = jax.lax.dot_general(trilf, av, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[:, 0]
+        # ah[-1] would lower to (unsupported) dynamic_slice; the final
+        # prefix sum is just the total
+        a_last = jnp.sum(av)
         # decay[i, j] = exp(sum_{j+1..i} a); clamp the (masked) upper
         # triangle so the exp never overflows to inf
         diff = jnp.minimum(ah[:, None] - ah[None, :], 0.0)
@@ -79,10 +87,10 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
         y = y + jnp.exp(ah)[:, None] * cst
         y_ref[0, 0, h] = y.astype(y_ref.dtype)
         # state' = exp(acum_last) * state + X^T (exp(acum_last - acum) * B)
-        wb = jnp.exp(ah[-1] - ah)[:, None] * b  # (Q, N)
+        wb = jnp.exp(a_last - ah)[:, None] * b  # (Q, N)
         f = jax.lax.dot_general(xh, wb, (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        state_ref[h * p:(h + 1) * p] = jnp.exp(ah[-1]) * st + f
+        state_ref[h * p:(h + 1) * p] = jnp.exp(a_last) * st + f
 
 
 def ssd_pallas(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,

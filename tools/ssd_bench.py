@@ -1,9 +1,14 @@
 """On-chip A/B for the fused Pallas SSD kernel vs the einsum scan.
 
 Shapes mirror bs_mamba2 inference: d_model 128 -> d_inner 512, 8 heads of
-64, d_state 128, chunk 64, over the band-time sequence lengths the
-separator actually sees. Parity is checked against the f32 einsum path;
-timings end with a device->host data fetch (verify-skill protocol).
+64, d_state 128, chunk 64. Parity: BOTH on-chip paths are compared to the
+einsum scan evaluated on this host's CPU in f32 (the numerics spec); the
+kernel passes if its error does not exceed ~2x the on-chip einsum's own
+error (MXU f32 rounding differs from host f32; the decay exponentials
+amplify it). Timing: each measurement chains N data-dependent calls
+(output feeds the next input, renormalized on device) and ends with a
+data fetch, amortizing the ~hundreds-of-ms relay dispatch overhead that
+would otherwise swamp the kernel.
 
 Writes SSD_BENCH.json at the repo root and prints one JSON line.
 Run on the real chip: python tools/ssd_bench.py
@@ -24,48 +29,64 @@ import jax.numpy as jnp
 
 from sesa_tpu.ops.ssd import ssd, ssd_pallas
 
+CHAIN = 16
 
-def bench(bsz, l, h=8, p=64, n=128, runs=5):
+
+def bench(bsz, l, h=8, p=64, n=128):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((bsz, l, h, p)).astype(np.float32) * 0.5)
     a = jnp.asarray(-np.abs(rng.standard_normal((bsz, l, h))).astype(np.float32) * 0.7)
     b = jnp.asarray(rng.standard_normal((bsz, l, 1, n)).astype(np.float32) * 0.3)
     c = jnp.asarray(rng.standard_normal((bsz, l, 1, n)).astype(np.float32) * 0.3)
 
+    # CPU f32 ground truth (einsum path is the numerics spec)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        truth = np.asarray(jax.jit(lambda *t: ssd(*t))(
+            *(jax.device_put(t, cpu) for t in (x, a, b, c))))
+
     os.environ["SESA_NO_FUSED"] = "1"  # force the einsum path inside ssd()
-
-    def einsum_fn(x_, a_, b_, c_):
-        return ssd(x_, a_, b_, c_)
-
-    ref_j = jax.jit(einsum_fn)
-    ref = np.asarray(ref_j(x, a, b, c))
+    ein_j = jax.jit(lambda x_, a_, b_, c_: ssd(x_, a_, b_, c_))
+    ein = np.asarray(ein_j(x, a, b, c))
     os.environ.pop("SESA_NO_FUSED", None)
 
     pal_j = jax.jit(lambda *t: ssd_pallas(*t))
-    got = np.asarray(pal_j(x, a, b, c))
+    pal = np.asarray(pal_j(x, a, b, c))
 
-    scale = float(np.abs(ref).max())
-    diff = float(np.abs(got - ref).max())
+    scale = float(np.abs(truth).max())
+    e_ein = float(np.abs(ein - truth).max())
+    e_pal = float(np.abs(pal - truth).max())
 
-    def clock(fn):
-        times = []
-        for _ in range(runs):
-            t0 = time.time()
-            out = fn(x, a, b, c)
-            np.asarray(out)  # timings must end with a data fetch
-            times.append(time.time() - t0)
-        return min(times)
+    def chain(core):
+        # output feeds the next input (renormalized on device so the
+        # chain neither explodes nor hits the relay's dispatch cache)
+        @jax.jit
+        def step(x_):
+            y = core(x_, a, b, c)
+            return y * jax.lax.rsqrt(jnp.mean(y * y) + 1e-6) * 0.5
 
-    t_ein = clock(ref_j)
-    t_pal = clock(pal_j)
+        y = step(x)
+        np.asarray(y)  # compile + settle
+        t0 = time.time()
+        for _ in range(CHAIN):
+            y = step(y)
+        np.asarray(y)
+        return (time.time() - t0) / CHAIN
+
+    os.environ["SESA_NO_FUSED"] = "1"
+    t_ein = chain(lambda *t: ssd(*t))
+    os.environ.pop("SESA_NO_FUSED", None)
+    t_pal = chain(lambda *t: ssd_pallas(*t))
+
     return {
         "shape": f"B{bsz}xL{l}xH{h}xP{p}xN{n}",
-        "maxabs_diff": round(diff, 6),
+        "einsum_err_vs_cpu": round(e_ein, 5),
+        "pallas_err_vs_cpu": round(e_pal, 5),
         "output_scale": round(scale, 3),
         "einsum_ms": round(t_ein * 1e3, 2),
         "pallas_ms": round(t_pal * 1e3, 2),
         "speedup": round(t_ein / t_pal, 2),
-        "ok": bool(diff < 1e-3 * max(scale, 1.0)),
+        "ok": bool(e_pal <= 2.0 * e_ein + 1e-3 * max(scale, 1.0)),
     }
 
 
