@@ -57,6 +57,7 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
     c = c_ref[0, 0].astype(jnp.float32)  # (Q, N)
     # C B^T once: the B/C projections are group-shared across heads
     cbt = jax.lax.dot_general(c, b, (((1,), (1,)), ((), ())),
+                              precision=_HIGHEST,
                               preferred_element_type=jnp.float32)  # (Q, Q)
     row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
@@ -69,6 +70,7 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
     for h in range(heads):
         av = a_ref[0, 0, h].astype(jnp.float32).reshape(q, 1)
         ah = jax.lax.dot_general(trilf, av, (((1,), (0,)), ((), ())),
+                                 precision=_HIGHEST,
                                  preferred_element_type=jnp.float32)[:, 0]
         # ah[-1] would lower to (unsupported) dynamic_slice; the final
         # prefix sum is just the total
@@ -79,16 +81,19 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
         lmat = jnp.where(tril, jnp.exp(diff), 0.0) * cbt  # (Q, Q)
         xh = x_ref[0, 0, h].astype(jnp.float32)  # (Q, P)
         y = jax.lax.dot_general(lmat, xh, (((1,), (0,)), ((), ())),
+                                precision=_HIGHEST,
                                 preferred_element_type=jnp.float32)
         st = state_ref[h * p:(h + 1) * p]  # (P, N)
         # inter-chunk: y_l += exp(acum_l) * C_l . state
         cst = jax.lax.dot_general(c, st, (((1,), (1,)), ((), ())),
+                                  precision=_HIGHEST,
                                   preferred_element_type=jnp.float32)
         y = y + jnp.exp(ah)[:, None] * cst
         y_ref[0, 0, h] = y.astype(y_ref.dtype)
         # state' = exp(acum_last) * state + X^T (exp(acum_last - acum) * B)
         wb = jnp.exp(a_last - ah)[:, None] * b  # (Q, N)
         f = jax.lax.dot_general(xh, wb, (((0,), (0,)), ((), ())),
+                                precision=_HIGHEST,
                                 preferred_element_type=jnp.float32)
         state_ref[h * p:(h + 1) * p] = jnp.exp(a_last) * st + f
 
@@ -145,9 +150,19 @@ def ssd_pallas(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
 
 def use_pallas_ssd(x, b, chunk_size) -> bool:
     """Dispatch gate: the fused kernel needs TPU silicon, group-shared
-    projections, and MXU-friendly minor dims."""
+    projections, and MXU-friendly minor dims.
+
+    Shape policy from the on-chip A/B (SSD_BENCH.json): the kernel wins
+    for MANY SHORT sequences (1.43x at B64xL128 — few sequential chunk
+    steps, grid parallel over batch) and loses for long serial chains
+    (0.49x at B4xL1408, 22 sequential chunks per program). So it
+    auto-enables only in the short-sequence regime; SESA_SSD_PALLAS=1
+    forces it everywhere, SESA_NO_FUSED disables all fused paths."""
     if os.environ.get("SESA_NO_FUSED"):
         return False
+    if not os.environ.get("SESA_SSD_PALLAS"):
+        if x.shape[1] // chunk_size > 4 or x.shape[0] < 32:
+            return False
     if b.shape[-2] != 1 or x.shape[1] % chunk_size:
         return False
     if x.shape[-1] % 8 or b.shape[-1] % 128 or chunk_size % 8:

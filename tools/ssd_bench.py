@@ -39,11 +39,14 @@ def bench(bsz, l, h=8, p=64, n=128):
     b = jnp.asarray(rng.standard_normal((bsz, l, 1, n)).astype(np.float32) * 0.3)
     c = jnp.asarray(rng.standard_normal((bsz, l, 1, n)).astype(np.float32) * 0.3)
 
-    # CPU f32 ground truth (einsum path is the numerics spec)
+    # CPU f32 ground truth (einsum path is the numerics spec); the pallas
+    # gate keys off the GLOBAL platform, so pin the einsum path via env
     cpu = jax.devices("cpu")[0]
+    os.environ["SESA_NO_FUSED"] = "1"
     with jax.default_device(cpu):
         truth = np.asarray(jax.jit(lambda *t: ssd(*t))(
             *(jax.device_put(t, cpu) for t in (x, a, b, c))))
+    os.environ.pop("SESA_NO_FUSED", None)
 
     os.environ["SESA_NO_FUSED"] = "1"  # force the einsum path inside ssd()
     ein_j = jax.jit(lambda x_, a_, b_, c_: ssd(x_, a_, b_, c_))
