@@ -149,12 +149,14 @@ def bench_mdx23c(runs=3):
     def model_apply(p, chunks):
         return mdx23c.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
-    spec = DemixSpec(chunk_size=261120, num_overlap=2, batch_size=4,
+    # batch 8: the conv U-Net fills the MXU ~1.55x better than batch 4
+    # (tools/profile_mdx23c.py: forward RTF 24.8 -> 38.6)
+    spec = DemixSpec(chunk_size=261120, num_overlap=2, batch_size=8,
                      num_stems=2)
     mix = make_song()
     best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
     emit("mdx23c_2stem_rtf", SONG_SECONDS / best, best, compile_s,
-         chunk_size=261120, batch_size=4, num_overlap=2,
+         chunk_size=261120, batch_size=8, num_overlap=2,
          dim_f=4096, num_scales=5, num_channels=128)
 
 
@@ -180,12 +182,12 @@ def bench_htdemucs(runs=3):
 
     # demucs-mode demix: plain averaging, zero-pad tail, no fade window
     # (reference demix in processing: transition_power=1 shifts path)
-    spec = DemixSpec(chunk_size=11 * SR, num_overlap=2, batch_size=4,
+    spec = DemixSpec(chunk_size=11 * SR, num_overlap=2, batch_size=8,
                      num_stems=4, demucs_mode=True)
     mix = make_song()
     best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
     emit("htdemucs_4stem_rtf", SONG_SECONDS / best, best, compile_s,
-         chunk_size=11 * SR, batch_size=4, num_overlap=2,
+         chunk_size=11 * SR, batch_size=8, num_overlap=2,
          channels=48, t_layers=5, bottom_channels=512)
 
 
