@@ -62,7 +62,12 @@ def _irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
 # integer (t*k) mod n reduction keeps every angle in [0, 2pi) exactly, so
 # device-side f32 cos/sin match the host f64-then-cast tables to ~1e-7.
 # int32 products stay exact up to n = 32768.
-_DEVICE_MATS_MIN_N = 4096
+#
+# The threshold sits ABOVE 4096: scnet's 4096-point bases are ~67 MB of
+# constants, which the compiler still takes, and regenerating them per
+# call measurably slowed scnet (bench 6.3x -> 4.7x when the threshold
+# was 4096). Only 8192+ transforms pay the on-device recompute.
+_DEVICE_MATS_MIN_N = 8192
 
 
 def _dft_angles(rows: int, cols: int, n: int) -> jax.Array:

@@ -16,7 +16,7 @@ from sesa_tpu.ops.fft import (_irdft_mats, _irdft_mats_dev, _rdft_mats,
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 
-@pytest.mark.parametrize("n", [4096, 8192])
+@pytest.mark.parametrize("n", [8192])
 def test_device_mats_match_host(n):
     c, s = _rdft_mats(n)
     cd, sd = _rdft_mats_dev(n)
