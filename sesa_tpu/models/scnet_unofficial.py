@@ -31,7 +31,17 @@ def _kwargs(config):
               n_rnn_layers=6, rnn_hidden_dim=128, n_sources=4, hop_length=1024,
               win_length=4096, stft_normalized=False, use_mamba=False)
     kw.update({k: v for k, v in dict(config.model).items() if k in kw})
-    assert not kw["use_mamba"], "the Mamba-v1 dual-path variant is not supported"
+    if kw["use_mamba"]:
+        # the reference's own use_mamba path cannot run: it passes
+        # `d_expand=` to mamba_ssm's Mamba, whose kwarg is `expand`
+        # (reference scnet_unofficial/modules/dualpath_rnn.py:183-184),
+        # so it raises TypeError even with the CUDA package installed —
+        # and no public checkpoint uses it
+        raise NotImplementedError(
+            "scnet_unofficial use_mamba is not supported: the reference's "
+            "Mamba-v1 path is itself broken (dualpath_rnn.py:183-184 passes "
+            "d_expand= to mamba_ssm.Mamba, which takes expand=) and no "
+            "public checkpoint was trained with it")
     kw["dims"] = list(kw["dims"])
     return kw
 
