@@ -58,6 +58,7 @@ def main():
         lambda t: cc._attn_apply(p16["attn"], t, HEADS, None) + t), x) * 1e3, 1)
     out["conv_ms"] = round(clock(jax.jit(
         lambda t: cc._conv_apply(p16["conv"], t, None) + t), x) * 1e3, 1)
+    print(json.dumps(out), flush=True)
 
     # full model, one chunk, bench shape
     config = ConfigDict({"model": dict(
@@ -69,16 +70,18 @@ def main():
     xm = jnp.asarray(np.random.default_rng(1).standard_normal(
         (4, 2, 352800)).astype(np.float32) * 0.1)
 
+    # params must be ARGUMENTS: closing them over bakes 300 MB of weight
+    # constants into the compile request (HTTP 413 on the remote backend)
     @jax.jit
-    def fwd(t):
-        return mel_band_conformer.apply(mp, config, t,
+    def fwd(p, t):
+        return mel_band_conformer.apply(p, config, t,
                                         compute_dtype=jnp.bfloat16)
 
-    y = fwd(xm)
+    y = fwd(mp, xm)
     np.asarray(y)
     t0 = time.time()
     for _ in range(2):
-        y = fwd(xm + y[:, 0] * 1e-6)
+        y = fwd(mp, xm + y[:, 0] * 1e-6)
     np.asarray(y)
     out["model_b4_ms"] = round((time.time() - t0) / 2 * 1e3, 1)
     out["model_b4_rtf"] = round(4 * 8 / ((time.time() - t0) / 2), 1)
