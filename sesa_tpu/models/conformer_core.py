@@ -121,31 +121,32 @@ def _attn_apply(p, x, heads, precision):
 
 
 def _conv_apply(p, x, precision):
-    """(B, N, D) conv module; kernel-size 'same' padding, eval BatchNorm."""
+    """(B, N, D) conv module; kernel-size 'same' padding, eval BatchNorm.
+
+    Stays channels-LAST end to end (lanes = channels is the TPU-native
+    layout): the 1x1 convs run as token GEMMs and only the depthwise
+    conv is a real convolution — no NLC<->NCL transposes."""
     y = layer_norm(x, p["norm"])
-    y = jnp.swapaxes(y, 1, 2)  # (B, D, N)
-    y = jax.lax.conv_general_dilated(
-        y, p["pw1"]["weight"], (1,), [(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    ) + p["pw1"]["bias"][None, :, None]
-    a, g = jnp.split(y, 2, axis=1)
+    y = jnp.einsum("bnd,od->bno", y, p["pw1"]["weight"][:, :, 0],
+                   precision=precision) + p["pw1"]["bias"]
+    a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)  # GLU over channels
     kernel = p["dw"]["weight"].shape[-1]
     pad = (kernel // 2, kernel // 2 - (kernel + 1) % 2)
+    dw = jnp.transpose(p["dw"]["weight"], (2, 1, 0))  # (k, 1, C) HIO
     y = jax.lax.conv_general_dilated(
-        y, p["dw"]["weight"], (1,), [pad],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=y.shape[1], precision=precision,
-    ) + p["dw"]["bias"][None, :, None]
+        y, dw, (1,), [pad], dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=y.shape[-1], precision=precision,
+    ) + p["dw"]["bias"]
     bn = p["bn"]
-    scale = bn["weight"] * jax.lax.rsqrt(bn["running_var"] + 1e-5)
-    y = y * scale[None, :, None] + (bn["bias"] - bn["running_mean"] * scale)[None, :, None]
+    scale = (bn["weight"].astype(jnp.float32)
+             * jax.lax.rsqrt(bn["running_var"].astype(jnp.float32) + 1e-5))
+    shift = (bn["bias"].astype(jnp.float32)
+             - bn["running_mean"].astype(jnp.float32) * scale)
+    y = y * scale.astype(y.dtype) + shift.astype(y.dtype)
     y = swish(y)
-    y = jax.lax.conv_general_dilated(
-        y, p["pw2"]["weight"], (1,), [(0, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    ) + p["pw2"]["bias"][None, :, None]
-    return jnp.swapaxes(y, 1, 2)
+    return jnp.einsum("bne,de->bnd", y, p["pw2"]["weight"][:, :, 0],
+                      precision=precision) + p["pw2"]["bias"]
 
 
 def conformer_block_apply(p, x, heads, precision=_HIGHEST):
