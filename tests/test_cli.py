@@ -11,9 +11,6 @@ import jax
 
 import pytest
 
-pytestmark = pytest.mark.smoke
-
-
 def test_cli_end_to_end(tmp_path):
     from sesa_tpu.audio_io import read_audio, write_audio
     from sesa_tpu.models import bs_roformer
@@ -65,6 +62,7 @@ def test_cli_end_to_end(tmp_path):
     np.testing.assert_allclose(v + i, song, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_cli_missing_input():
     from sesa_tpu.cli import main
 

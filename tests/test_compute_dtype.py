@@ -29,7 +29,6 @@ def _check(apply_fn, params, x, atol=0.08):
         np.abs(got - ref).max(), scale)
 
 
-@pytest.mark.smoke
 def test_mdx23c_bf16():
     from sesa_tpu.models import mdx23c
     config = ConfigDict({
@@ -46,7 +45,6 @@ def test_mdx23c_bf16():
            params, _mix(8064))
 
 
-@pytest.mark.smoke
 def test_htdemucs_bf16():
     from sesa_tpu.models import htdemucs
     config = ConfigDict({
@@ -64,7 +62,6 @@ def test_htdemucs_bf16():
            params, _mix(512 * 64))
 
 
-@pytest.mark.smoke
 def test_scnet_bf16():
     from sesa_tpu.models import scnet
     config = ConfigDict({"model": dict(
@@ -78,7 +75,6 @@ def test_scnet_bf16():
            params, _mix(8192), atol=0.12)  # BiLSTM compounds bf16 rounding
 
 
-@pytest.mark.smoke
 def test_mel_band_conformer_bf16():
     from sesa_tpu.models import mel_band_conformer
     config = ConfigDict({"model": dict(
@@ -92,7 +88,6 @@ def test_mel_band_conformer_bf16():
            params, _mix(8064))
 
 
-@pytest.mark.smoke
 def test_apollo_bf16():
     from sesa_tpu.models import apollo
     config = ConfigDict({"model": dict(sr=16000, win=20, feature_dim=16,
@@ -102,7 +97,6 @@ def test_apollo_bf16():
            params, _mix(16000))
 
 
-@pytest.mark.smoke
 def test_bs_mamba2_bf16():
     from sesa_tpu.models import bs_mamba2
     config = ConfigDict({"model": dict(sr=44100, win=1024, stride=512,

@@ -27,7 +27,6 @@ def _config(k_blocks):
     })
 
 
-@pytest.mark.smoke
 def test_scan_matches_unrolled(monkeypatch):
     config = _config(3)
     params = mdx23c.init(jax.random.PRNGKey(0), config)

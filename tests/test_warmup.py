@@ -35,7 +35,6 @@ inference:
 """
 
 
-@pytest.mark.smoke
 def test_warmup_compiles_and_caches(tmp_path, monkeypatch):
     cfg = tmp_path / "mdx23c.yaml"
     cfg.write_text(TINY_MDX23C_YAML)
