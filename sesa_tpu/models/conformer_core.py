@@ -149,7 +149,48 @@ def _conv_apply(p, x, precision):
                       precision=precision) + p["pw2"]["bias"]
 
 
+def _ff_fused(p, x):
+    """Conformer FF via the fused Pallas kernel (LayerNorm/SiLU/0.5·out)."""
+    from sesa_tpu.ops.ff import fused_ff_residual
+
+    x2d = x.reshape(-1, x.shape[-1])
+    out = fused_ff_residual(
+        x2d, p["norm"]["weight"], p["lin1"]["weight"], p["lin1"]["bias"],
+        p["lin2"]["weight"], p["lin2"]["bias"], beta=p["norm"]["bias"],
+        norm="ln", act="swish", out_scale=0.5)
+    return out.reshape(x.shape)
+
+
+def _use_fused_conformer(x, p, heads) -> bool:
+    from sesa_tpu.ops.attention import _use_fused
+    from sesa_tpu.ops.ff import use_fused_ff
+
+    n, dim = x.shape[-2:]
+    dh = p["attn"]["to_q"]["weight"].shape[0] // heads
+    return (_use_fused(n, dh, heads, dim, dtype=x.dtype)
+            and use_fused_ff(x.reshape(-1, dim), p["ff1"]["lin1"]["weight"]))
+
+
 def conformer_block_apply(p, x, heads, precision=_HIGHEST):
+    if _use_fused_conformer(x, p, heads):
+        # bf16 TPU path: both FFs and the biased attention run as fused
+        # Pallas kernels — the (n, n) logits and the (tokens, 4·dim) FF
+        # hidden never touch HBM. The Shaw bias is realized in-kernel via
+        # a strided lane rotation (see ops/attention.py).
+        from sesa_tpu.ops.attention import fused_conformer_attention
+
+        a = p["attn"]
+        wqkv = jnp.concatenate([a["to_q"]["weight"], a["to_kv"]["weight"]],
+                               axis=0)
+        x = _ff_fused(p["ff1"], x)
+        b, n, dim = x.reshape(-1, *x.shape[-2:]).shape
+        x = fused_conformer_attention(
+            x.reshape(b, n, dim), a["norm"]["weight"], a["norm"]["bias"],
+            wqkv, a["rel_pos_emb"], a["to_out"]["weight"],
+            a["to_out"]["bias"], heads).reshape(x.shape)
+        x = _conv_apply(p["conv"], x, precision) + x
+        x = _ff_fused(p["ff2"], x)
+        return layer_norm(x, p["post_norm"])
     x = _ff_apply(p["ff1"], x, precision) + x
     x = _attn_apply(p["attn"], x, heads, precision) + x
     x = _conv_apply(p["conv"], x, precision) + x

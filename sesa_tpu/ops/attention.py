@@ -519,6 +519,131 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
     return out[:b, :n]
 
 
+# ---------------------------------------------------------------------------
+# Fused conformer attention block: LayerNorm + qkv + Shaw rel-pos bias +
+# attention + out projection + residual
+# ---------------------------------------------------------------------------
+#
+# The lucidrains-conformer attention (reference models/mel_band_conformer.py
+# :192-195 via the `conformer` package) adds a Shaw relative-position bias
+# pos[i,j] = q[i]·E[clip(j-i,-P,P)+P] to the logits. Materialized naively
+# that is an (n, n, dh) gather plus n tiny batched GEMMs per layer — the
+# recorded bottleneck of the scnet_melconf config (VERDICT r2 item 2).
+# Here the bias never exists outside VMEM: per head the kernel computes
+# qE = q @ E_expᵀ against a pre-clipped expanded table (one MXU matmul),
+# then realizes the skew qE[i, j-i+c] with a SINGLE per-sublane strided
+# lane rotation (pltpu.roll(stride=1): out[i,j] = in[i, j-shift-i mod W],
+# so shift = W-c lands exactly on j-i+c). No gather, no HBM logits.
+
+def _conformer_attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, eexp_ref,
+                           wo_ref, bo_ref, o_ref, qkv_scr, ao_scr, *,
+                           scale, seq_len, heads, dh, gb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp, d = x_ref.shape[1], x_ref.shape[2]
+    w = eexp_ref.shape[0]  # roll width (2·sp)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    key_mask = col < seq_len
+
+    x_all = x_ref[...].reshape(gb * sp, d)
+    xf = x_all.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + 1e-5)).astype(x_all.dtype)
+    xn = xn * lnw_ref[...] + lnb_ref[...]
+    qkv_scr[...] = jax.lax.dot_general(
+        xn, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_all.dtype)
+
+    def one_seq(bi):
+        for h in range(heads):
+            q = qkv_scr[pl.dslice(bi * sp, sp), h * dh:(h + 1) * dh]
+            k = qkv_scr[pl.dslice(bi * sp, sp),
+                        (heads + h) * dh:(heads + h + 1) * dh]
+            v = qkv_scr[pl.dslice(bi * sp, sp),
+                        (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
+            qe = jax.lax.dot_general(
+                q, eexp_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (sp, W)
+            bias = pltpu.roll(qe, (w - (sp - 1)) % w, 1,
+                              stride=1, stride_axis=0)[:, :sp]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = (s + bias) * scale
+            s = jnp.where(key_mask, s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            ao_scr[pl.dslice(bi * sp, sp),
+                   h * dh:(h + 1) * dh] = o.astype(ao_scr.dtype)
+
+    for bi in range(gb):  # static unroll (gb kept small)
+        one_seq(bi)
+
+    out = jax.lax.dot_general(
+        ao_scr[...], wo_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + bo_ref[...].astype(jnp.float32)
+    o_ref[...] = (out.astype(o_ref.dtype) + x_all).reshape(gb, sp, d)
+
+
+def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
+                              heads, scale=None, interpret=False):
+    """x (b, n, d) -> x + conformer-attention(layer_norm(x)) in one kernel.
+
+    Weights keep torch layouts: wqkv (3·h·dh, d) = [to_q; to_kv] rows,
+    wo (d, h·dh), bo (d,). ``rel_pos_emb`` is the Shaw table
+    (2·max_pos_emb+1, dh) shared across heads (lucidrains conformer).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, d = x.shape
+    dh = wqkv.shape[0] // (3 * heads)
+    if scale is None:
+        scale = dh ** -0.5
+    sp = n + (-n) % 64
+    gb = min(4, max(1, 1024 // sp))
+    bp = b + (-b) % gb
+    if sp != n or bp != b:
+        x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
+
+    # pre-clipped expanded table: row r covers relative distance r-(sp-1);
+    # rows past 2·sp-2 are never read (roll indices stay in [0, 2sp-2])
+    w_roll = 2 * sp
+    max_pos = (rel_pos_emb.shape[0] - 1) // 2
+    rel_idx = np.clip(np.arange(w_roll) - (sp - 1), -max_pos, max_pos) + max_pos
+    e_exp = rel_pos_emb[jnp.asarray(rel_idx, jnp.int32)].astype(x.dtype)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    stream = pl.BlockSpec((gb, sp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    hd = heads * dh
+    out = pl.pallas_call(
+        functools.partial(_conformer_attn_kernel, scale=scale, seq_len=n,
+                          heads=heads, dh=dh, gb=gb),
+        grid=(bp // gb,),
+        in_specs=[stream, const((d,)), const((d,)), const(wqkv.shape),
+                  const((w_roll, dh)), const(wo.shape), const((d,))],
+        out_specs=stream,
+        out_shape=jax.ShapeDtypeStruct((bp, sp, d), x.dtype),
+        scratch_shapes=[pltpu.VMEM((gb * sp, 3 * hd), x.dtype),
+                        pltpu.VMEM((gb * sp, hd), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * sp * (d * 4 * hd + 3 * sp * hd),
+            bytes_accessed=2 * bp * sp * d * x.dtype.itemsize,
+            transcendentals=bp * heads * sp * sp,
+        ),
+        interpret=interpret,
+    )(x, ln_w, ln_b, wqkv, e_exp, wo, bo)
+    return out[:b, :n]
+
+
 def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
                dtype=None) -> bool:
     # VMEM budget: one program holds gb·(sp·3·h·dh input + sp·h·dh out)

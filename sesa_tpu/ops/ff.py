@@ -10,6 +10,11 @@ weight matrices VMEM-resident across grid steps (constant index maps),
 and writes only the residual-added output — one read + one write of the
 (tokens, dim) stream total.
 
+The same kernel also serves the lucidrains-conformer FeedForward
+(reference models/mel_band_conformer.py via the `conformer` package:
+LayerNorm -> Linear -> SiLU -> Linear, scaled by 0.5 before the residual)
+through the ``norm`` / ``act`` / ``out_scale`` knobs.
+
 bf16-only by design: the f32 parity path keeps the unfused einsum chain
 (exact-precision GEMMs), and CPU tests exercise this kernel in interpret
 mode.
@@ -17,32 +22,49 @@ mode.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
-def _ff_kernel(x_ref, gamma_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
+def _ff_kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               o_ref, *, norm, act, out_scale):
     x = x_ref[...]  # (tile, d) bf16
     # rows past the token count are padding; they still flow through the
     # math (harmless) and are cropped by the caller.
     xf = x.astype(jnp.float32)
-    nrm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
-    scale = (x.shape[-1] ** 0.5) / jnp.maximum(nrm, 1e-12)
-    xn = (xf * scale).astype(x.dtype) * gamma_ref[...]
+    if norm == "rms":
+        # lucidrains RMSNorm: l2-normalize * sqrt(dim) * gamma
+        nrm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+        scale = (x.shape[-1] ** 0.5) / jnp.maximum(nrm, 1e-12)
+        xn = (xf * scale).astype(x.dtype) * gamma_ref[...]
+    else:  # LayerNorm with weight+bias
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+        xn = xn * gamma_ref[...] + beta_ref[...]
 
     # x @ w1^T: w1 keeps its torch (out, in) layout; MXU contracts natively
     h = jax.lax.dot_general(xn, w1_ref[...], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    if act == "gelu":
+        h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    else:  # swish / SiLU
+        h = (h * jax.nn.sigmoid(h)).astype(x.dtype)
     y = jax.lax.dot_general(h, w2_ref[...], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = y + b2_ref[...].astype(jnp.float32)
+    if out_scale != 1.0:
+        y = y * out_scale
     o_ref[...] = y.astype(o_ref.dtype) + x  # residual folded in
 
 
-def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, tile=1024, interpret=False):
-    """rms_norm -> linear -> tanh-GELU -> linear -> +x over (tokens, dim).
+def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, beta=None, norm="rms",
+                      act="gelu", out_scale=1.0, tile=1024, interpret=False):
+    """norm -> linear -> act -> linear (×out_scale) -> +x over (tokens, dim).
 
     Weights stay in torch (out_features, in_features) layout. The tanh
     GELU matches the unfused bf16 path (ff_apply uses approximate=True
@@ -56,19 +78,22 @@ def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, tile=1024, interpret=False):
     tp = tokens + (-tokens) % tile
     if tp != tokens:
         x = jnp.pad(x, ((0, tp - tokens), (0, 0)))
+    if beta is None:
+        beta = jnp.zeros((dim,), x.dtype)
 
     def const(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _ff_kernel,
+        functools.partial(_ff_kernel, norm=norm, act=act,
+                          out_scale=float(out_scale)),
         grid=(tp // tile,),
         in_specs=[
             pl.BlockSpec((tile, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            const((dim,)), const((hidden, dim)), const((hidden,)),
-            const((dim, hidden)), const((dim,)),
+            const((dim,)), const((dim,)), const((hidden, dim)),
+            const((hidden,)), const((dim, hidden)), const((dim,)),
         ],
         out_specs=pl.BlockSpec((tile, dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -79,7 +104,7 @@ def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, tile=1024, interpret=False):
             transcendentals=tp * hidden,
         ),
         interpret=interpret,
-    )(x, gamma, w1, b1, w2, b2)
+    )(x, gamma, beta, w1, b1, w2, b2)
     return out[:tokens]
 
 
