@@ -74,6 +74,16 @@ class RoformerSpec:
     # roformer_experimental extensions
     value_residual: bool = False
     num_residual_streams: int = 1
+    # FNO variant (bs_roformer_fno by unwa, reference model.py:993-1004):
+    # a Fourier-neural-operator stage per depth layer operating along the
+    # time axis. The upstream model source is download-only (never executed
+    # here); this follows the standard FNO1d formulation (Li et al.):
+    # y = x + gelu(spectral_conv(x) + x @ W_bypass), spectral_conv keeping
+    # the lowest `fno_modes` rDFT modes with full channel mixing. The
+    # checkpoint converter fails loudly on any key-layout mismatch, so a
+    # real upstream checkpoint can never silently mis-load.
+    use_fno: bool = False
+    fno_modes: int = 16
     # the experimental file's Transformer.forward threads value residuals
     # across depth and drops explicit residual adds after the first depth
     # layer EVEN when use_value_residual_learning is false (reference
@@ -138,10 +148,53 @@ def spec_from_config(model_cfg: dict) -> RoformerSpec:
 # init
 # --------------------------------------------------------------------------
 
+def _fno_init(rng, dim, modes):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    s = 1.0 / dim
+    return {
+        "w_re": s * jax.random.normal(k1, (modes, dim, dim)),
+        "w_im": s * jax.random.normal(k2, (modes, dim, dim)),
+        "bypass_w": s * jax.random.normal(k3, (dim, dim)),
+        "bypass_b": jnp.zeros((dim,)),
+    }
+
+
+def _fno_apply(p, x, precision=None):
+    """FNO1d stage along the time axis: x (B, Tf, NB, D) -> same shape.
+
+    Spectral convolution over the lowest `modes` rDFT frequencies with full
+    channel mixing, plus a pointwise bypass, GELU, residual. The rDFT runs
+    as MXU GEMMs (the backend has no fft/complex; see sesa_tpu/ops/fft.py).
+    """
+    from sesa_tpu.ops.fft import _irdft_mats, _rdft_mats
+
+    t = x.shape[1]
+    modes = p["w_re"].shape[0]
+    cdt = x.dtype
+    c, s = _rdft_mats(t)
+    ci, si = _irdft_mats(t)
+    cm = jnp.asarray(c[:, :modes], cdt)
+    sm = jnp.asarray(s[:, :modes], cdt)
+    cim = jnp.asarray(ci[:modes], cdt)
+    sim = jnp.asarray(si[:modes], cdt)
+
+    xr = jnp.einsum("btnd,tk->bknd", x, cm, precision=precision)
+    xi = jnp.einsum("btnd,tk->bknd", x, sm, precision=precision)
+    yr = (jnp.einsum("bknd,kde->bkne", xr, p["w_re"], precision=precision)
+          - jnp.einsum("bknd,kde->bkne", xi, p["w_im"], precision=precision))
+    yi = (jnp.einsum("bknd,kde->bkne", xr, p["w_im"], precision=precision)
+          + jnp.einsum("bknd,kde->bkne", xi, p["w_re"], precision=precision))
+    spectral = (jnp.einsum("bknd,kt->btnd", yr, cim, precision=precision)
+                + jnp.einsum("bknd,kt->btnd", yi, sim, precision=precision))
+    bypass = jnp.einsum("btnd,de->btne", x, p["bypass_w"],
+                        precision=precision) + p["bypass_b"]
+    return x + jax.nn.gelu(spectral + bypass, approximate=False)
+
+
 def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = False,
                    final_norm: bool = True):
     plan = spec.band_plan()
-    keys = iter(jax.random.split(rng, 8 + 4 * spec.depth + spec.num_stems))
+    keys = iter(jax.random.split(rng, 8 + 5 * spec.depth + spec.num_stems))
     layers = []
     for layer_index in range(spec.depth):
         vr = spec.value_residual and layer_index > 0
@@ -158,6 +211,8 @@ def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = Fals
             next(keys), spec.dim, spec.freq_transformer_depth, spec.heads,
             spec.dim_head, norm_output=transformer_norm_output, value_residual=vr,
             num_residual_streams=spec.num_residual_streams)
+        if spec.use_fno:
+            layer["fno"] = _fno_init(next(keys), spec.dim, spec.fno_modes)
         layers.append(layer)
 
     params = {
@@ -235,7 +290,7 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
     # from minutes to tens of seconds with identical numerics (same ops,
     # same order). Deeper-shared structure is guaranteed by init_from_spec.
     use_scan = (_SCAN_UNROLL > 0 and not spec.skip_connection and not vr_forward
-                and spec.linear_transformer_depth == 0
+                and spec.linear_transformer_depth == 0 and not spec.use_fno
                 and len(params["layers"]) > 1)
     if use_scan:
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
@@ -282,6 +337,8 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
         else:
             xb = core.transformer_apply(layer["freq"], z, spec.heads,
                                         rope=rope_freq, precision=precision)
+        if "fno" in layer:
+            xb = _fno_apply(layer["fno"], xb, precision=precision)
         if spec.skip_connection:
             store.append(xb)
 
@@ -380,6 +437,13 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
             take, f"layers.{d}.{j + 1}", spec.freq_transformer_depth,
             norm_output=transformer_norm_output, value_residual=vr,
             num_residual_streams=spec.num_residual_streams)
+        if spec.use_fno:
+            layer["fno"] = {
+                "w_re": take(f"layers.{d}.{j + 2}.weight_real"),
+                "w_im": take(f"layers.{d}.{j + 2}.weight_imag"),
+                "bypass_w": take(f"layers.{d}.{j + 2}.bypass.weight").T,
+                "bypass_b": take(f"layers.{d}.{j + 2}.bypass.bias"),
+            }
         layers.append(layer)
 
     mask_estimators = []

@@ -11,9 +11,14 @@ the known custom families are covered declaratively:
   fully described by their config.yaml. Those configs dispatch onto the
   experimental spec machinery (sesa_tpu/models/bs_roformer_experimental.py),
   which supports num_residual_streams > 1 and use_value_residual_learning.
-- configs carrying architecture knobs outside that space (e.g. the FNO
-  variant) raise a typed UnsupportedCustomArchitecture error naming the
-  unknown keys, instead of silently mis-loading.
+- the FNO variant (pcunwa/BS-Roformer-Inst-FNO, reference model.py:993-1004)
+  resolves through the spec's `use_fno` / `fno_modes` options — a standard
+  FNO1d spectral-conv stage per depth layer (see bs_roformer._fno_apply),
+  oracle-tested against a hand-written torch implementation. Its converter
+  fails loudly on any key-layout mismatch with the real upstream checkpoint.
+- configs carrying architecture knobs outside that space raise a typed
+  UnsupportedCustomArchitecture error naming the unknown keys, instead of
+  silently mis-loading.
 """
 
 from __future__ import annotations

@@ -129,6 +129,21 @@ def _ff(sd, p, x):
     return F.linear(h, sd[f"{p}.net.4.weight"], sd[f"{p}.net.4.bias"])
 
 
+def _fno(sd, p, z):
+    """FNO1d stage over the time axis (the bs_roformer_fno declarative
+    formulation: standard spectral conv + pointwise bypass, GELU, residual).
+
+    z (B, T, NB, D) -> same shape."""
+    w = torch.complex(sd[f"{p}.weight_real"], sd[f"{p}.weight_imag"])
+    modes = w.shape[0]
+    spec = torch.fft.rfft(z, dim=1)  # (B, F, NB, D) complex
+    full = torch.zeros_like(spec)
+    full[:, :modes] = torch.einsum("bknd,kde->bkne", spec[:, :modes], w)
+    spectral = torch.fft.irfft(full, n=z.shape[1], dim=1)
+    bypass = F.linear(z, sd[f"{p}.bypass.weight"], sd[f"{p}.bypass.bias"])
+    return z + F.gelu(spectral + bypass)
+
+
 def _transformer(sd, prefix, x, depth, heads, freqs=None, norm_output=False,
                  linear_attn=False):
     for i in range(depth):
@@ -236,6 +251,8 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
             zz = _transformer(sd, f"layers.{d}.{j + 1}", zz, f_depth, heads, ffr,
                               norm_output=norm_output)
         z = zz.reshape(be, tf, nb, dim)
+        if cfg.get("use_fno", False):
+            z = _fno(sd, f"layers.{d}.{j + 2}", z)
         if skip_connection:
             store.append(z)
 

@@ -44,8 +44,20 @@ def test_bs_roformer_custom_declarative():
     assert out.shape == (1, 1, 2, 1280)
     assert np.isfinite(np.asarray(out)).all()
 
-    bad = ConfigDict({"model": dict(mcfg, fno_modes=16)})
-    with pytest.raises(custom.UnsupportedCustomArchitecture, match="fno_modes"):
+    # the FNO variant (5th custom entry) now resolves declaratively too
+    fno_cfg = ConfigDict({"model": dict(
+        mcfg, use_value_residual_learning=False, num_residual_streams=1,
+        use_fno=True, fno_modes=4)})
+    params = custom.init(jax.random.PRNGKey(0), fno_cfg)
+    assert "fno" in params["layers"][0]
+    out = custom.apply(params, fno_cfg, jnp.asarray(x))
+    assert out.shape == (1, 1, 2, 1280)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # knobs outside the declarative space still raise typed
+    bad = ConfigDict({"model": dict(mcfg, wavelet_depth=3)})
+    with pytest.raises(custom.UnsupportedCustomArchitecture,
+                       match="wavelet_depth"):
         custom.init(jax.random.PRNGKey(0), bad)
 
 

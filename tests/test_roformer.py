@@ -125,6 +125,12 @@ def export_state_dict(params, spec, transformer_norm_output, final_norm):
             j += 1
         put_transformer(f"layers.{d}.{j}", layer["time"])
         put_transformer(f"layers.{d}.{j + 1}", layer["freq"])
+        if "fno" in layer:
+            fn = layer["fno"]
+            sd[f"layers.{d}.{j + 2}.weight_real"] = _t(fn["w_re"])
+            sd[f"layers.{d}.{j + 2}.weight_imag"] = _t(fn["w_im"])
+            sd[f"layers.{d}.{j + 2}.bypass.weight"] = _t(fn["bypass_w"]).T.contiguous()
+            sd[f"layers.{d}.{j + 2}.bypass.bias"] = _t(fn["bypass_b"])
 
     for s, me in enumerate(params["mask_estimators"]):
         for li, h in enumerate(me["hidden"]):
@@ -305,6 +311,32 @@ def test_bs_roformer_experimental_forward_without_vr():
     # and it differs from the base (always-residual) forward
     base = np.asarray(bs_roformer.apply(params, config, jnp.asarray(x)))
     assert np.abs(base - got).max() > 1e-5
+
+
+def test_bs_roformer_fno_matches_torch_oracle():
+    """The FNO custom variant (5th bs_roformer_custom entry, reference
+    model.py:993-1004): spectral conv along time + bypass per depth layer,
+    threaded through the experimental forward."""
+    from sesa_tpu.models import bs_roformer_custom as custom
+
+    mcfg = bs_model_cfg(depth=2, num_stems=1, use_fno=True, fno_modes=5)
+    config = ConfigDict({"model": mcfg})
+    params = custom.init(jax.random.PRNGKey(11), config)
+    spec = bs_roformer.spec_from_config(mcfg)
+    sd = export_state_dict(params, spec, transformer_norm_output=False,
+                           final_norm=True)
+    x = np.random.default_rng(12).standard_normal((1, 2, 1280)).astype(np.float32) * 0.1
+    widths = [2 * f * 2 for f in mcfg["freqs_per_bands"]]
+    ref = torch_roformer.forward(sd, mcfg, torch.from_numpy(x),
+                                 band_widths=widths, variant="bs",
+                                 experimental=True).numpy()
+    got = np.asarray(custom.apply(params, config, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+    # converter round-trips the fno params
+    back = custom.convert_torch({k: v.numpy() for k, v in sd.items()}, config)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
 def test_bs_converter_round_trip():
