@@ -119,15 +119,19 @@ def bench_flagship(runs=5, hold=False):
     def model_apply(p, chunks):
         return bs_roformer.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
-    # 60 s + borders = 17 chunks at overlap 2: one batch of 17 wastes zero
-    # forwards (any other size pads the tail batch with masked chunks)
-    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=17,
+    # batch 6 x seg_batches 1: the 17-chunk song runs as 3 pipelined
+    # segments, so two of the three output-slab fetches hide behind the
+    # next segment's compute (tools/pipeline_sweep.json: 23.5x single
+    # segment -> 27.4x pipelined, and the tightest wall spread of the
+    # sweep). The one masked pad chunk costs ~6% extra forward compute.
+    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
                      num_stems=1)
     mix = make_song()
-    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    best, compile_s = timed(
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
     return emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
-                hold=hold, chunk_size=352800, batch_size=17, num_overlap=2,
-                dim=512, depth=12)
+                hold=hold, chunk_size=352800, batch_size=6, num_overlap=2,
+                seg_batches=1, dim=512, depth=12)
 
 
 def bench_mdx23c(runs=3):

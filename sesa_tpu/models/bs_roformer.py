@@ -33,7 +33,7 @@ from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 # lax.scan over stacked per-depth params with N-way body unrolling. Scan
 # collapses compile time (the body compiles once); unrolling the body a few
 # times buys back most of the loop's runtime overhead.
-_SCAN_UNROLL = int(os.environ.get("SESA_ROFORMER_SCAN_UNROLL", "1"))
+_SCAN_UNROLL = int(os.environ.get("SESA_ROFORMER_SCAN_UNROLL", "2"))
 
 DEFAULT_FREQS_PER_BANDS = (
     2, 2, 2, 2, 2, 2, 2, 2, 2, 2,

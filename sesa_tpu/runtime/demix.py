@@ -185,6 +185,19 @@ def _demix_segment(
 
     One executable per (spec, seg_batches, buffer-bucket); reused across
     segments and across songs.
+
+    Besides the carried accumulators, each call returns the FINALIZED
+    output slab for the chunk range it just completed: once every chunk
+    with index < first_chunk + seg_batches*batch_size has been
+    accumulated, output samples below that bound's start position can
+    never be written again (later chunks only add at >= their own start),
+    so their result/counter division is final. Returning the slab from
+    the same executable lets the caller ``copy_to_host_async`` it while
+    the NEXT segment computes — the device->host transfer (the single
+    largest non-compute cost on the ~44 MB/s relay link: ~0.8 s for a
+    60 s stereo stem, ~2.2 s for four stems) hides behind compute
+    instead of serializing after it (reference utils.py:441-445 pays
+    this per batch, on every batch).
     """
 
     n_batches = (n_chunks + spec.batch_size - 1) // spec.batch_size
@@ -218,11 +231,17 @@ def _demix_segment(
     _, result, counter = jax.lax.while_loop(
         cond, body, (first_batch, result, counter)
     )
-    return result, counter
+
+    slab_len = seg_batches * spec.batch_size * spec.step
+    start = first_chunk * spec.step
+    s_stems, ch = result.shape[0], result.shape[1]
+    slab_r = jax.lax.dynamic_slice(result, (0, 0, start), (s_stems, ch, slab_len))
+    slab_c = jax.lax.dynamic_slice(counter, (start,), (slab_len,))
+    slab = _finalize_math(slab_r, slab_c)
+    return result, counter, slab
 
 
-@functools.partial(jax.jit, donate_argnames=("result",))
-def _finalize(result: jax.Array, counter: jax.Array) -> jax.Array:
+def _finalize_math(result: jax.Array, counter: jax.Array) -> jax.Array:
     est = result / jnp.where(counter > 0, counter, 1.0)[None, None, :]
     est = jnp.where(counter[None, None, :] > 0, est, 0.0)
     return jnp.nan_to_num(est)
@@ -324,10 +343,13 @@ def demix(
     length = length_init + (2 * border if padded else 0)
     n_chunks, n_batches = _plan(spec, length)
     n_segments = -(-n_batches // seg_batches)
+    slab_len = seg_batches * spec.batch_size * spec.step
     # buffer must cover the furthest chunk slot of the last REAL batch
-    # (the while_loop never runs padded segment iterations)
+    # (the while_loop never runs padded segment iterations) AND the last
+    # segment's full finalized slab
     l_buf = _bucket_length(
-        (n_batches * spec.batch_size - 1) * spec.step + spec.chunk_size,
+        max((n_batches * spec.batch_size - 1) * spec.step + spec.chunk_size,
+            n_segments * slab_len),
         spec.chunk_size,
     )
 
@@ -359,8 +381,13 @@ def demix(
             mesh, jax.sharding.PartitionSpec("data", None, None)
         )
 
+    # Slab-streaming pipeline: dispatch segment si+1 before materializing
+    # segment si's finalized slab on the host, so the device->host slab
+    # transfers overlap the next segment's compute (verified to overlap on
+    # the TPU relay link; see _demix_segment docstring).
+    slabs = []
     for si in range(n_segments):
-        result, counter = _demix_segment(
+        result, counter, slab = _demix_segment(
             model_apply,
             spec,
             seg_batches,
@@ -374,16 +401,24 @@ def demix(
             jnp.asarray(si * seg_batches * spec.batch_size, dtype=jnp.int32),
             batch_sharding,
         )
+        try:
+            slab.copy_to_host_async()
+        except Exception:  # pragma: no cover - older jax / non-PJRT backends
+            pass
+        slabs.append(slab)
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)
 
-    est = _finalize(result, counter)
-
-    if padded:
-        est = est[..., border : length - border]
-    else:
-        est = est[..., :length_init]
-    return np.asarray(est)
+    lo = border if padded else 0
+    hi = (length - border) if padded else length_init
+    est = np.empty((spec.num_stems, spec.num_channels, hi - lo), dtype=np.float32)
+    for si, slab in enumerate(slabs):
+        s0, s1 = si * slab_len, (si + 1) * slab_len
+        c0, c1 = max(s0, lo), min(s1, hi)
+        if c0 >= c1:
+            continue
+        est[..., c0 - lo : c1 - lo] = np.asarray(slab)[..., c0 - s0 : c1 - s0]
+    return est
 
 
 def apply_tta(
