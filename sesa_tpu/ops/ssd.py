@@ -40,12 +40,20 @@ def segsum(x: jax.Array) -> jax.Array:
 
 
 def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
-                heads, q):
-    """One (batch, chunk) program: diagonal block + state in/out.
+                heads, q, tile_chunks):
+    """One (batch, seq-tile) program: several chunks, all heads batched.
 
-    Refs: x (1, H, Q, P), a (1, H, Q), b/c (1, Q, N), y (1, H, Q, P),
-    state scratch (H*P, N) float32 persisting across the sequential
-    chunk grid dimension (re-zeroed at chunk 0).
+    Refs: x (1, H, T, P), a (1, tc, H, Q), b/c (1, T, N), y (1, H, T, P) with
+    T = tile_chunks * q; state scratch (H, P, N) float32 persisting across
+    the sequential tile grid dimension (re-zeroed at tile 0).
+
+    Two levels of restructuring versus a naive per-chunk kernel keep the
+    TPU busy: (a) every chunk's six matmuls are batched over ALL heads as
+    single dot_generals, so the MXU sees (H, Q, ·) workloads instead of H
+    tiny serial ones; (b) several chunks run inside one program, so the
+    sequential grid has B * ceil(NC / tile_chunks) steps instead of
+    B * NC — the per-step block-DMA/sync overhead was the dominant cost
+    of the long-sequence regime (SSD_BENCH.json r2: 0.49x at B4xL1408).
     """
     j = pl.program_id(1)
 
@@ -53,12 +61,6 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
     def _zero():
         state_ref[...] = jnp.zeros_like(state_ref)
 
-    b = b_ref[0, 0].astype(jnp.float32)  # (Q, N)
-    c = c_ref[0, 0].astype(jnp.float32)  # (Q, N)
-    # C B^T once: the B/C projections are group-shared across heads
-    cbt = jax.lax.dot_general(c, b, (((1,), (1,)), ((), ())),
-                              precision=_HIGHEST,
-                              preferred_element_type=jnp.float32)  # (Q, Q)
     row = jax.lax.broadcasted_iota(jnp.int32, (q, q), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (q, q), 1)
     tril = row >= col
@@ -66,46 +68,72 @@ def _ssd_kernel(x_ref, a_ref, b_ref, c_ref, y_ref, state_ref, *,
     # against the lower-triangular ones matrix (MXU-native anyway)
     trilf = jnp.where(tril, 1.0, 0.0)
 
-    p = x_ref.shape[-1]
-    for h in range(heads):
-        av = a_ref[0, 0, h].astype(jnp.float32).reshape(q, 1)
-        ah = jax.lax.dot_general(trilf, av, (((1,), (0,)), ((), ())),
-                                 precision=_HIGHEST,
-                                 preferred_element_type=jnp.float32)[:, 0]
-        # ah[-1] would lower to (unsupported) dynamic_slice; the final
-        # prefix sum is just the total
-        a_last = jnp.sum(av)
-        # decay[i, j] = exp(sum_{j+1..i} a); clamp the (masked) upper
-        # triangle so the exp never overflows to inf
-        diff = jnp.minimum(ah[:, None] - ah[None, :], 0.0)
-        lmat = jnp.where(tril, jnp.exp(diff), 0.0) * cbt  # (Q, Q)
-        xh = x_ref[0, 0, h].astype(jnp.float32)  # (Q, P)
-        y = jax.lax.dot_general(lmat, xh, (((1,), (0,)), ((), ())),
-                                precision=_HIGHEST,
-                                preferred_element_type=jnp.float32)
-        st = state_ref[h * p:(h + 1) * p]  # (P, N)
-        # inter-chunk: y_l += exp(acum_l) * C_l . state
-        cst = jax.lax.dot_general(c, st, (((1,), (1,)), ((), ())),
+    n = b_ref.shape[-1]
+
+    # fori_loop (not an unrolled Python loop): Mosaic stack-allocates each
+    # unrolled iteration's temporaries separately, which blows the 16 MB
+    # scoped-VMEM limit at ~22 chunks; the loop body's temps are reused
+    def chunk_step(k, state):
+        # t0 strides the SUBLANE dim of x/y/b/c blocks (multiple of 8 is
+        # enough); a is laid out (1, tc, H, Q) so k indexes a non-tiled
+        # leading dim (a lane-dim slice would need multiples of 128)
+        t0 = pl.multiple_of(k * q, q)
+        bq = b_ref[0, pl.ds(t0, q)].astype(jnp.float32)  # (Q, N)
+        cq = c_ref[0, pl.ds(t0, q)].astype(jnp.float32)  # (Q, N)
+        # C B^T once: the B/C projections are group-shared across heads
+        cbt = jax.lax.dot_general(cq, bq, (((1,), (1,)), ((), ())),
                                   precision=_HIGHEST,
-                                  preferred_element_type=jnp.float32)
-        y = y + jnp.exp(ah)[:, None] * cst
-        y_ref[0, 0, h] = y.astype(y_ref.dtype)
-        # state' = exp(acum_last) * state + X^T (exp(acum_last - acum) * B)
-        wb = jnp.exp(a_last - ah)[:, None] * b  # (Q, N)
-        f = jax.lax.dot_general(xh, wb, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (Q, Q)
+        av = a_ref[0, k].astype(jnp.float32)  # (H, Q)
+        # inclusive prefix sums for all heads in one (H,Q)@(Q,Q) matmul
+        ah = jax.lax.dot_general(av, trilf, (((1,), (1,)), ((), ())),
+                                 precision=_HIGHEST,
+                                 preferred_element_type=jnp.float32)  # (H, Q)
+        a_last = jnp.sum(av, axis=1)[:, None]  # (H, 1)
+        # decay[h, i, j] = exp(sum_{j+1..i} a_h); clamp the (masked) upper
+        # triangle so the exp never overflows to inf
+        diff = jnp.minimum(ah[:, :, None] - ah[:, None, :], 0.0)
+        lmat = jnp.where(tril[None], jnp.exp(diff), 0.0) * cbt[None]  # (H,Q,Q)
+        xq = x_ref[0, :, pl.ds(t0, q)].astype(jnp.float32)  # (H, Q, P)
+        y = jax.lax.dot_general(lmat, xq, (((2,), (1,)), ((0,), (0,))),
                                 precision=_HIGHEST,
-                                preferred_element_type=jnp.float32)
-        state_ref[h * p:(h + 1) * p] = jnp.exp(a_last) * st + f
+                                preferred_element_type=jnp.float32)  # (H,Q,P)
+        # inter-chunk: y_l += exp(acum_l) * C_l . state
+        cqb = jnp.broadcast_to(cq[None], (heads, q, n))
+        cst = jax.lax.dot_general(cqb, state, (((2,), (2,)), ((0,), (0,))),
+                                  precision=_HIGHEST,
+                                  preferred_element_type=jnp.float32)  # (H,Q,P)
+        y = y + jnp.exp(ah)[:, :, None] * cst
+        y_ref[0, :, pl.ds(t0, q)] = y.astype(y_ref.dtype)
+        # state' = exp(acum_last) * state + X^T (exp(acum_last - acum) * B)
+        wb = jnp.exp(a_last - ah)[:, :, None] * bq[None]  # (H, Q, N)
+        f = jax.lax.dot_general(xq, wb, (((1,), (1,)), ((0,), (0,))),
+                                precision=_HIGHEST,
+                                preferred_element_type=jnp.float32)  # (H,P,N)
+        return jnp.exp(a_last)[:, :, None] * state + f
+
+    state = jax.lax.fori_loop(0, tile_chunks, chunk_step, state_ref[...])
+    state_ref[...] = state
+
+
+def _tile_chunks(nc: int, q: int, h: int, p: int, n: int) -> int:
+    """Chunks per program: as many as fit a ~4 MB x-block VMEM budget
+    (x/y blocks are double-buffered by the pipeline, plus (H,Q,Q) decay
+    temporaries), capped at the whole sequence."""
+    budget = 4 * 1024 * 1024
+    per_chunk = q * h * p * 4
+    return max(1, min(nc, budget // max(per_chunk, 1)))
 
 
 def ssd_pallas(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
                chunk_size: int = 64, interpret: bool = False) -> jax.Array:
     """Fused TPU SSD: same contract as `ssd` (G must be 1).
 
-    Everything for one (batch, chunk) step lives in VMEM; the recurrent
-    (H*P, N) state never touches HBM. The chunk axis is the minor grid
-    dimension, which Pallas TPU iterates sequentially per core, so the
-    scratch state carries across chunks (re-zeroed at chunk 0).
+    Everything for one (batch, seq-tile) step lives in VMEM; the
+    recurrent (H, P, N) state never touches HBM. The tile axis is the
+    minor grid dimension, which Pallas TPU iterates sequentially per
+    core, so the scratch state carries across tiles (re-zeroed at
+    tile 0).
     """
     bsz, l, h, p = x.shape
     g, n = b.shape[-2], b.shape[-1]
@@ -113,56 +141,64 @@ def ssd_pallas(x: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array,
     assert l % chunk_size == 0, (l, chunk_size)
     nc = l // chunk_size
     q = chunk_size
+    tc = _tile_chunks(nc, q, h, p, n)
+    nt = -(-nc // tc)
+    t_tile = tc * q
+    pad = nt * t_tile - l
+    if pad:
+        # (x=0, a=0, b=0) tail chunks are exact no-ops for the recurrence:
+        # they add nothing to the state and decay it by exp(0) = 1
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        c = jnp.pad(c, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    # head-major layouts: per-head (Q, P) slices are contiguous VMEM tiles
-    xt = jnp.transpose(x.reshape(bsz, nc, q, h, p), (0, 1, 3, 2, 4))
-    at = jnp.transpose(a.reshape(bsz, nc, q, h), (0, 1, 3, 2))
-    b2 = b.reshape(bsz, nc, q, n)
-    c2 = c.reshape(bsz, nc, q, n)
+    # head-major layouts: per-head (T, P) slices are contiguous VMEM tiles
+    xt = jnp.transpose(x, (0, 2, 1, 3))  # (B, H, L, P)
+    at = jnp.transpose(a.reshape(bsz, nt * tc, q, h), (0, 1, 3, 2))  # (B,NC,H,Q)
+    b2 = b[:, :, 0]  # (B, L, N)
+    c2 = c[:, :, 0]
 
     out = pl.pallas_call(
-        functools.partial(_ssd_kernel, heads=h, q=q),
-        grid=(bsz, nc),
+        functools.partial(_ssd_kernel, heads=h, q=q, tile_chunks=tc),
+        grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec((1, 1, h, q, p), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, h, t_tile, p), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, q), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, tc, h, q), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, t_tile, n), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, q, n), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, t_tile, n), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, h, q, p), lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, t_tile, p), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, nc, h, q, p), x.dtype),
-        scratch_shapes=[pltpu.VMEM((h * p, n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bsz, h, l + pad, p), x.dtype),
+        scratch_shapes=[pltpu.VMEM((h, p, n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * l * h * (q * n + q * p + 2 * n * p),
-            bytes_accessed=2 * bsz * l * h * p * x.dtype.itemsize,
-            transcendentals=bsz * l * h * (q + 2),
+            flops=2 * bsz * (l + pad) * h * (q * n + q * p + 2 * n * p),
+            bytes_accessed=2 * bsz * (l + pad) * h * p * x.dtype.itemsize,
+            transcendentals=bsz * (l + pad) * h * (q + 2),
         ),
         interpret=interpret,
     )(xt, at, b2, c2)
-    # (B, nc, H, Q, P) -> (B, L, H, P)
-    return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(bsz, l, h, p)
+    # (B, H, L, P) -> (B, L, H, P)
+    return jnp.transpose(out[:, :, :l], (0, 2, 1, 3))
 
 
 def use_pallas_ssd(x, b, chunk_size) -> bool:
     """Dispatch gate: the fused kernel needs TPU silicon, group-shared
     projections, and MXU-friendly minor dims.
 
-    Shape policy from the on-chip A/B (SSD_BENCH.json): the kernel wins
-    for MANY SHORT sequences (1.43x at B64xL128 — few sequential chunk
-    steps, grid parallel over batch) and loses for long serial chains
-    (0.49x at B4xL1408, 22 sequential chunks per program). So it
-    auto-enables only in the short-sequence regime; SESA_SSD_PALLAS=1
-    forces it everywhere, SESA_NO_FUSED disables all fused paths."""
+    Enabled for every fitting shape: since the kernel batches all heads
+    per matmul and runs whole sequence tiles per program, the on-chip
+    A/B (SSD_BENCH.json) has it ahead in BOTH regimes — 1.28x at the
+    long-sequence production shape B4xL1408 (0.49x before the tiling
+    rework) and 1.1x at B64xL128. SESA_NO_FUSED disables all fused
+    paths."""
     if os.environ.get("SESA_NO_FUSED"):
         return False
-    if not os.environ.get("SESA_SSD_PALLAS"):
-        if x.shape[1] // chunk_size > 4 or x.shape[0] < 32:
-            return False
     if b.shape[-2] != 1 or x.shape[1] % chunk_size:
         return False
     if x.shape[-1] % 8 or b.shape[-1] % 128 or chunk_size % 8:
