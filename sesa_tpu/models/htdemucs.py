@@ -62,11 +62,6 @@ def _kwargs(config):
     kw["audio_channels"] = int(training.get("channels", 2))
     kw["samplerate"] = int(training.get("samplerate", 44100))
     kw["segment"] = training.get("segment", 10)
-    if kw["multi_freqs"]:
-        raise NotImplementedError(
-            "multi_freqs (MultiWrap per-band conv splitting, reference "
-            "demucs4ht.py:302,152-154) is not implemented; no registry "
-            "checkpoint uses it")
     return kw
 
 
@@ -90,9 +85,14 @@ def _layer_plan(kw):
         if last_freq:
             chout_z = max(chout, chout_z)
             chout = chout_z
+        # MultiWrap per-band frequency splitting wraps the outermost freq
+        # layers; their decoders lose the freq-axis rewrite context
+        # (reference demucs4ht.py:300-303 kw_dec["context_freq"]=False)
+        multi = bool(kw["multi_freqs"]) and index < kw["multi_freqs_depth"] and freq
         plan.append(dict(index=index, norm=norm, freq=freq, ker=ker, stride=stri,
                          pad=pad, last_freq=last_freq, chin=chin, chin_z=chin_z,
-                         chout=chout, chout_z=chout_z, freqs=freqs))
+                         chout=chout, chout_z=chout_z, freqs=freqs,
+                         multi=multi, context_freq=not multi))
         if index == 0:
             chin = kw["audio_channels"] * len(kw["sources"])
             chin_z = chin * cac_f * subs  # ref :330-333
@@ -154,7 +154,9 @@ def init(rng, config):
             p["norm1"] = _norm_p(co)
         if kw["rewrite"]:
             ctx = kw["context_enc"]
-            rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+            # demucs HEncLayer passes an int kernel to Conv2d, so freq-layer
+            # rewrites are SQUARE (1+2c, 1+2c); context_enc=0 keeps it 1x1
+            rk = (1 + 2 * ctx, 1 + 2 * ctx) if freq else (1 + 2 * ctx,)
             p["rewrite"] = conv(co, 2 * co, rk)
             if norm:
                 p["norm2"] = _norm_p(2 * co)
@@ -162,7 +164,7 @@ def init(rng, config):
             p["dconv"] = dconv(co)
         return p
 
-    def dec_layer(ci, co, ker, freq, norm, empty=False):
+    def dec_layer(ci, co, ker, freq, norm, empty=False, context_freq=True):
         kshape = (ker, 1) if freq else (ker,)
         p = {"conv_tr": convtr(ci, co, kshape)}
         if norm:
@@ -171,7 +173,12 @@ def init(rng, config):
             return p
         if kw["rewrite"]:
             ctx = kw["context"]
-            rk = (1 + 2 * ctx, 1) if freq else (1 + 2 * ctx,)
+            # HDecLayer: context_freq=True -> square int-kernel Conv2d;
+            # False (MultiWrap) -> time-axis-only context (1, 1+2c)
+            if freq:
+                rk = (1 + 2 * ctx, 1 + 2 * ctx) if context_freq else (1, 1 + 2 * ctx)
+            else:
+                rk = (1 + 2 * ctx,)
             p["rewrite"] = conv(ci, 2 * ci, rk)
             if norm:
                 p["norm1"] = _norm_p(2 * ci)
@@ -179,16 +186,28 @@ def init(rng, config):
             p["dconv"] = dconv(ci)
         return p
 
+    n_bands = len(kw["multi_freqs"] or []) + 1
     params = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
     for lp in plan:
-        params["encoder"].append(enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"],
-                                           True, lp["norm"]))
+        e = enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"], True, lp["norm"])
+        if lp["multi"]:
+            # MultiWrap: n_bands independent replicas of the layer
+            e = {"layers": [
+                enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"], True,
+                          lp["norm"]) for _ in range(n_bands)]}
+        params["encoder"].append(e)
         if lp["freq"]:
             params["tencoder"].append(enc_layer(lp["chin"], lp["chout"],
                                                 kw["kernel_size"], False,
                                                 lp["norm"], empty=lp["last_freq"]))
-        params["decoder"].insert(0, dec_layer(lp["chout_z"], lp["dec_chin_z"],
-                                              lp["ker"], True, lp["norm"]))
+        d = dec_layer(lp["chout_z"], lp["dec_chin_z"], lp["ker"], True,
+                      lp["norm"], context_freq=lp["context_freq"])
+        if lp["multi"]:
+            d = {"layers": [
+                dec_layer(lp["chout_z"], lp["dec_chin_z"], lp["ker"], True,
+                          lp["norm"], context_freq=False)
+                for _ in range(n_bands)]}
+        params["decoder"].insert(0, d)
         if lp["freq"]:
             params["tdecoder"].insert(0, dec_layer(lp["chout"], lp["dec_chin"],
                                                    kw["kernel_size"], False,
@@ -319,13 +338,16 @@ def _henc_apply(p, x, kw, freq, ker, stride, pad, norm, inject=None,
         else:
             y = _dconv_apply(p["dconv"], y, precision)
     if "rewrite" in p:
-        ctx = (p["rewrite"]["weight"].shape[2] - 1) // 2
+        w = p["rewrite"]["weight"]
         if freq:
-            z = L.conv2d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                         padding=(ctx, 0), precision=precision)
+            # padding follows the kernel (demucs passes int kernel+padding
+            # to Conv2d, so freq rewrites are square with "same" padding)
+            z = L.conv2d(y, w, p["rewrite"]["bias"],
+                         padding=((w.shape[2] - 1) // 2, (w.shape[3] - 1) // 2),
+                         precision=precision)
         else:
-            z = L.conv1d(y, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                         padding=ctx, precision=precision)
+            z = L.conv1d(y, w, p["rewrite"]["bias"],
+                         padding=(w.shape[2] - 1) // 2, precision=precision)
         z = _maybe_norm(z, p, "norm2", groups)
         a, g = jnp.split(z, 2, axis=1)
         return a * jax.nn.sigmoid(g)
@@ -341,13 +363,15 @@ def _hdec_apply(p, x, skip, length, kw, freq, ker, stride, pad, chin,
     if not empty:
         x = x + skip
         if "rewrite" in p:
-            ctx = (p["rewrite"]["weight"].shape[2] - 1) // 2
+            w = p["rewrite"]["weight"]
             if freq:
-                z = L.conv2d(x, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                             padding=(ctx, 0), precision=precision)
+                z = L.conv2d(x, w, p["rewrite"]["bias"],
+                             padding=((w.shape[2] - 1) // 2,
+                                      (w.shape[3] - 1) // 2),
+                             precision=precision)
             else:
-                z = L.conv1d(x, p["rewrite"]["weight"], p["rewrite"]["bias"],
-                             padding=ctx, precision=precision)
+                z = L.conv1d(x, w, p["rewrite"]["bias"],
+                             padding=(w.shape[2] - 1) // 2, precision=precision)
             z = _maybe_norm(z, p, "norm1", groups)
             a, g = jnp.split(z, 2, axis=1)
             y = a * jax.nn.sigmoid(g)
@@ -384,6 +408,87 @@ def _hdec_apply(p, x, skip, length, kw, freq, ker, stride, pad, chin,
     if not last:
         z = jax.nn.gelu(z, approximate=False)
     return z, y
+
+
+def _henc_multi(p, x, kw, ker, stride, norm, precision=_HIGHEST):
+    """MultiWrap frequency-band split around HEncLayer replicas.
+
+    Semantics follow the public demucs v4 ``MultiWrap`` (imported by
+    reference demucs4ht.py:25 and applied at :302,325): band b covers
+    input rows [start, limit) with ``limit`` re-rounded so each band
+    holds an integer number of conv frames; the first band left-pads
+    K//4 rows and the last right-pads K//4, and consecutive bands
+    overlap by K - stride input rows so the concatenated frames exactly
+    equal one unwrapped padded conv (MultiWrap's documented invariant —
+    identical replica weights reproduce the unwrapped layer; the
+    equivalence test in tests/test_htdemucs.py checks exactly that).
+    """
+    ratios = list(kw["multi_freqs"]) + [1]
+    frq = x.shape[2]
+    pad = ker // 4
+    outs = []
+    start = 0
+    for ratio, sub in zip(ratios, p["layers"]):
+        if ratio == 1:
+            limit = frq
+        else:
+            limit = int(round(frq * ratio))
+            le = limit - start
+            if start == 0:
+                le += pad
+            frames = int(round((le - ker) / stride + 1))
+            limit = start + (frames - 1) * stride + ker
+            if start == 0:
+                limit -= pad
+        assert 0 < limit - start <= frq, (start, limit, frq)
+        y = x[:, :, start:limit, :]
+        if start == 0:
+            y = jnp.pad(y, ((0, 0), (0, 0), (pad, 0), (0, 0)))
+        if ratio == 1:
+            y = jnp.pad(y, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        outs.append(_henc_apply(sub, y, kw, True, ker, stride, False, norm,
+                                precision=precision))
+        start = limit - ker + stride
+    return jnp.concatenate(outs, axis=2)
+
+
+def _hdec_multi(p, x, skip, kw, ker, stride, chin, last, precision=_HIGHEST):
+    """MultiWrap around HDecLayer replicas (rewrites have no freq context).
+
+    Each band's transposed conv output spans K - stride rows past the
+    next band's start; the overlap is summed with one duplicate bias
+    removed, then K//4 rows are cropped from the two global ends — the
+    exact inverse of `_henc_multi`'s geometry, preserving the
+    identical-weights == unwrapped-layer invariant.
+    """
+    ratios = list(kw["multi_freqs"]) + [1]
+    frq = x.shape[2]
+    pad = ker // 4
+    outs = []
+    start = 0
+    for ratio, sub in zip(ratios, p["layers"]):
+        limit = frq if ratio == 1 else int(round(frq * ratio))
+        y = x[:, :, start:limit]
+        sk = skip[:, :, start:limit]
+        # last=True suppresses the per-band gelu (applied once, below);
+        # pad=False suppresses the per-band crop (applied at global ends)
+        z, _ = _hdec_apply(sub, y, sk, None, kw, True, ker, stride, False,
+                           chin=chin, last=True, precision=precision)
+        if outs:
+            ov = ker - stride
+            bias = sub["conv_tr"]["bias"].astype(z.dtype)
+            merged = (outs[-1][:, :, -ov:] + z[:, :, :ov]
+                      - bias[None, :, None, None])
+            outs[-1] = jnp.concatenate([outs[-1][:, :, :-ov], merged], axis=2)
+            z = z[:, :, ov:]
+        outs.append(z)
+        start = limit
+    out = jnp.concatenate(outs, axis=2)
+    if pad:
+        out = out[:, :, pad:-pad]
+    if not last:
+        out = jax.nn.gelu(out, approximate=False)
+    return out, None
 
 
 def _sin_embedding_1d(length, dim, max_period):
@@ -536,9 +641,15 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
                 saved_t.append(xt)
             else:
                 inject = tout
-        x = _henc_apply(params["encoder"][idx], x, kw, True, lp["ker"],
-                        lp["stride"], lp["pad"], lp["norm"], inject=inject,
-                        precision=precision)
+        ep = params["encoder"][idx]
+        if "layers" in ep:
+            assert inject is None and not lp["norm"]
+            x = _henc_multi(ep, x, kw, lp["ker"], lp["stride"], lp["norm"],
+                            precision=precision)
+        else:
+            x = _henc_apply(ep, x, kw, True, lp["ker"],
+                            lp["stride"], lp["pad"], lp["norm"], inject=inject,
+                            precision=precision)
         if idx == 0:
             emb = params["freq_emb"] * kw["emb_scale"]  # ScaledEmbedding forward
             # the embedding table is sized from the NOMINAL frequency count
@@ -603,10 +714,17 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
     s_src = len(kw["sources"])
     for idx, lp in enumerate(reversed(plan)):
         skip = saved.pop(-1)
-        x, pre = _hdec_apply(params["decoder"][idx], x, skip, lengths.pop(-1),
-                             kw, True, lp["ker"], lp["stride"], lp["pad"],
-                             chin=lp["chout_z"], last=lp["index"] == 0,
-                             precision=precision)
+        dp = params["decoder"][idx]
+        if "layers" in dp:
+            lengths.pop(-1)
+            x, pre = _hdec_multi(dp, x, skip, kw, lp["ker"], lp["stride"],
+                                 chin=lp["chout_z"], last=lp["index"] == 0,
+                                 precision=precision)
+        else:
+            x, pre = _hdec_apply(dp, x, skip, lengths.pop(-1),
+                                 kw, True, lp["ker"], lp["stride"], lp["pad"],
+                                 chin=lp["chout_z"], last=lp["index"] == 0,
+                                 precision=precision)
         offset = kw["depth"] - len(params["tdecoder"])
         if idx >= offset:
             tdec = params["tdecoder"][idx - offset]
@@ -737,16 +855,27 @@ def convert_torch(state_dict, config):
             p["dconv"] = dconv(f"{prefix}.dconv")
         return p
 
+    n_bands = len(kw["multi_freqs"] or []) + 1
     params = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
     n_t = sum(1 for lp in plan if lp["freq"])
     for i, lp in enumerate(plan):
-        params["encoder"].append(enc(f"encoder.{i}", lp["norm"]))
+        if lp["multi"]:
+            params["encoder"].append({"layers": [
+                enc(f"encoder.{i}.layers.{k}", lp["norm"])
+                for k in range(n_bands)]})
+        else:
+            params["encoder"].append(enc(f"encoder.{i}", lp["norm"]))
     for i in range(n_t):
         params["tencoder"].append(enc(f"tencoder.{i}",
                                       plan[i]["norm"], empty=plan[i]["last_freq"]))
     for i in range(kw["depth"]):
         lp = plan[kw["depth"] - 1 - i]
-        params["decoder"].append(dec(f"decoder.{i}", lp["norm"]))
+        if lp["multi"]:
+            params["decoder"].append({"layers": [
+                dec(f"decoder.{i}.layers.{k}", lp["norm"])
+                for k in range(n_bands)]})
+        else:
+            params["decoder"].append(dec(f"decoder.{i}", lp["norm"]))
     for i in range(n_t):
         lp = plan[n_t - 1 - i]
         params["tdecoder"].append(dec(f"tdecoder.{i}", lp["norm"],

@@ -93,10 +93,60 @@ def test_typed_rejections():
     with pytest.raises(NotImplementedError, match="hdemucs"):
         htdemucs._kwargs(config)
 
+
+def multi_config():
     config = tiny_config()
-    config.htdemucs.multi_freqs = [2, 4]
-    with pytest.raises(NotImplementedError, match="multi_freqs"):
-        htdemucs._kwargs(config)
+    # norm layers cannot be wrapped (MultiWrap asserts not layer.norm;
+    # real htdemucs runs norm_starts=4 > multi_freqs_depth=3)
+    config.htdemucs.multi_freqs = [0.25, 0.5]
+    config.htdemucs.multi_freqs_depth = 2
+    return config
+
+
+def test_multi_freqs_equivalence():
+    """MultiWrap's documented invariant (demucs v4 hdemucs.py MultiWrap
+    docstring): if all band replicas share one set of weights, the wrapped
+    layer is EXACTLY the unwrapped layer. This pins the band-edge/overlap/
+    crop geometry without needing the (offline-unavailable) demucs pkg."""
+    config = multi_config()
+    kw = htdemucs._kwargs(config)
+    params = htdemucs.init(jax.random.PRNGKey(3), config)
+    rng = np.random.default_rng(7)
+
+    # encoder layer 0: tie all three bands to band 0's weights
+    sub = params["encoder"][0]["layers"][0]
+    tied = {"layers": [sub] * 3}
+    x = jnp.asarray(rng.standard_normal((1, 4, 1024, 8)).astype(np.float32) * 0.3)
+    got = htdemucs._henc_multi(tied, x, kw, 8, 4, False)
+    want = htdemucs._henc_apply(sub, x, kw, True, 8, 4, True, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+    # decoder (outermost = params["decoder"][-1]): same weight-tying
+    dsub = params["decoder"][-1]["layers"][0]
+    dtied = {"layers": [dsub] * 3}
+    chin = dsub["conv_tr"]["weight"].shape[0]
+    xd = jnp.asarray(rng.standard_normal((1, chin, 256, 8)).astype(np.float32) * 0.3)
+    sk = jnp.asarray(rng.standard_normal((1, chin, 256, 8)).astype(np.float32) * 0.3)
+    got, _ = htdemucs._hdec_multi(dtied, xd, sk, kw, 8, 4, chin=chin, last=False)
+    want, _ = htdemucs._hdec_apply(dsub, xd, sk, None, kw, True, 8, 4, True,
+                                   chin=chin, last=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_multi_freqs_forward():
+    config = multi_config()
+    params = htdemucs.init(jax.random.PRNGKey(0), config)
+    assert "layers" in params["encoder"][0] and "layers" in params["decoder"][-1]
+    assert "layers" not in params["encoder"][2]
+    # wrapped decoders lose the freq-axis rewrite context (context_freq=False)
+    assert params["decoder"][-1]["layers"][0]["rewrite"]["weight"].shape[2] == 1
+    t = 512 * 16
+    x = np.random.default_rng(0).standard_normal((1, 2, t)).astype(np.float32) * 0.1
+    out = htdemucs.apply(params, config, jnp.asarray(x))
+    assert out.shape == (1, 4, 2, t)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_session_demucs_mode():

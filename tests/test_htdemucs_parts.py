@@ -168,9 +168,12 @@ def test_hdec_freq_matches_torch():
     got = np.asarray(got)
 
     xt = torch.from_numpy(x) + torch.from_numpy(skip)
-    ctx = (p["rewrite"]["weight"].shape[2] - 1) // 2
-    z = F.conv2d(xt, _t(p["rewrite"]["weight"]), _t(p["rewrite"]["bias"]),
-                 padding=(ctx, 0))
+    # HDecLayer freq rewrite is a SQUARE int-kernel Conv2d with int padding
+    # (demucs hdemucs.py HDecLayer: klass(chin, 2*chin, 1+2*context, 1,
+    # context) where klass is nn.Conv2d for freq layers)
+    w = p["rewrite"]["weight"]
+    z = F.conv2d(xt, _t(w), _t(p["rewrite"]["bias"]),
+                 padding=((w.shape[2] - 1) // 2, (w.shape[3] - 1) // 2))
     z = F.group_norm(z, kw["norm_groups"], _t(p["norm1"]["weight"]),
                      _t(p["norm1"]["bias"]))
     y = F.glu(z, dim=1)
