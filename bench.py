@@ -64,22 +64,44 @@ def make_song(seconds=SONG_SECONDS, seed=0, gain=0.3):
     return np.clip(np.round(mix * 32768), -32768, 32767).astype(np.float32) / 32768
 
 
+def _cache_entries():
+    """(count, bytes) of the persistent XLA compile cache."""
+    d = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        files = [os.path.join(d, f) for f in os.listdir(d)]
+        return len(files), sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return 0, 0
+
+
 def timed(fn, runs):
     """Compile (first call) then best-of-N timed runs. demix() returns host
-    numpy, so every timing ends with a device->host data fetch."""
+    numpy, so every timing ends with a device->host data fetch.
+
+    Cache forensics: `cache_new` counts persistent-cache entries written
+    by the first call. 0 means every executable was served from
+    .jax_cache (a LOCAL hit — any residual compile_s is the relay's
+    remote-side compile/load, whose cache is ephemeral per session;
+    tools/coldstart_probe.py decomposes it)."""
+    n0, _ = _cache_entries()
     t0 = time.time()
     out = fn()
     compile_s = time.time() - t0
+    n1, _ = _cache_entries()
     times = []
     for _ in range(runs):
         t0 = time.time()
         out = fn()
         times.append(time.time() - t0)
     assert np.isfinite(out).all()
-    return min(times), compile_s
+    return min(times), compile_s, n1 - n0
 
 
-def emit(metric, rtf, best, compile_s, hold=False, **detail):
+def emit(metric, rtf, best, compile_s, cache_new=None, hold=False, **detail):
+    if cache_new is not None:
+        # 0 => all executables came from the local persistent cache
+        detail.update(cache_new_entries=cache_new,
+                      local_cache_hit=cache_new == 0)
     detail.update(
         song_seconds=SONG_SECONDS,
         best_wall_s=round(best, 3),
@@ -127,10 +149,10 @@ def bench_flagship(runs=5, hold=False):
     spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
                      num_stems=1)
     mix = make_song()
-    best, compile_s = timed(
+    best, compile_s, cache_new = timed(
         lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
     return emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
-                hold=hold, chunk_size=352800, batch_size=6, num_overlap=2,
+                cache_new=cache_new, hold=hold, chunk_size=352800, batch_size=6, num_overlap=2,
                 seg_batches=1, dim=512, depth=12)
 
 
@@ -158,8 +180,10 @@ def bench_mdx23c(runs=3):
     spec = DemixSpec(chunk_size=261120, num_overlap=2, batch_size=8,
                      num_stems=2)
     mix = make_song()
-    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    best, compile_s, cache_new = timed(
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
     emit("mdx23c_2stem_rtf", SONG_SECONDS / best, best, compile_s,
+         cache_new=cache_new,
          chunk_size=261120, batch_size=8, num_overlap=2,
          dim_f=4096, num_scales=5, num_channels=128)
 
@@ -189,66 +213,93 @@ def bench_htdemucs(runs=3):
     spec = DemixSpec(chunk_size=11 * SR, num_overlap=2, batch_size=8,
                      num_stems=4, demucs_mode=True)
     mix = make_song()
-    best, compile_s = timed(lambda: demix(model_apply, params, mix, spec), runs)
+    best, compile_s, cache_new = timed(
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
     emit("htdemucs_4stem_rtf", SONG_SECONDS / best, best, compile_s,
+         cache_new=cache_new,
          chunk_size=11 * SR, batch_size=8, num_overlap=2,
          channels=48, t_layers=5, bottom_channels=512)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _scnet_setup():
+    """Shared across the scnet_melconf and ensemble configs so both reuse
+    ONE jitted executable (the demix jit is keyed on the apply object)."""
+    from sesa_tpu.models import scnet
+
+    config = ConfigDict({"model": dict(
+        dims=[4, 32, 64, 128], nfft=4096, hop_size=1024, win_size=4096,
+        normalized=True, num_dplayer=6, expand=1,
+    )})
+    params = scnet.init(jax.random.PRNGKey(0), config)
+
+    def apply_fn(p, chunks):
+        return scnet.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
+
+    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
+                     num_stems=4)
+    return apply_fn, params, spec
+
+
+@functools.lru_cache(maxsize=1)
+def _melconf_setup():
+    from sesa_tpu.models import mel_band_conformer
+
+    config = ConfigDict({"model": dict(
+        dim=384, depth=8, stereo=True, num_stems=1, num_bands=60,
+        time_conformer_depth=1, freq_conformer_depth=1,
+        stft_n_fft=2048, stft_hop_length=512, stft_win_length=2048,
+    )})
+    params = mel_band_conformer.init(jax.random.PRNGKey(1), config)
+
+    def apply_fn(p, chunks):
+        return mel_band_conformer.apply(p, config, chunks,
+                                        compute_dtype=jnp.bfloat16)
+
+    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
+                     num_stems=1)
+    return apply_fn, params, spec
 
 
 def bench_scnet_melconf(runs=3):
     """SCNet 4-stem then mel-band conformer vocals over the same song — the
     BASELINE 'SCNet + mel-band conformer stems' config. RTF counts ONE pass
-    of the song through BOTH models (walls add)."""
-    from sesa_tpu.models import mel_band_conformer, scnet
-
-    scnet_config = ConfigDict({"model": dict(
-        dims=[4, 32, 64, 128], nfft=4096, hop_size=1024, win_size=4096,
-        normalized=True, num_dplayer=6, expand=1,
-    )})
-    sc_params = scnet.init(jax.random.PRNGKey(0), scnet_config)
-
-    def sc_apply(p, chunks):
-        return scnet.apply(p, scnet_config, chunks, compute_dtype=jnp.bfloat16)
-
-    mc_config = ConfigDict({"model": dict(
-        dim=384, depth=8, stereo=True, num_stems=1, num_bands=60,
-        time_conformer_depth=1, freq_conformer_depth=1,
-        stft_n_fft=2048, stft_hop_length=512, stft_win_length=2048,
-    )})
-    mc_params = mel_band_conformer.init(jax.random.PRNGKey(1), mc_config)
-
-    def mc_apply(p, chunks):
-        return mel_band_conformer.apply(p, mc_config, chunks,
-                                        compute_dtype=jnp.bfloat16)
-
-    sc_spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=8,
-                        num_stems=4)
-    mc_spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=8,
-                        num_stems=1)
+    of the song through BOTH models (walls add). batch 6 x seg 1 pipelines
+    each model's output-slab fetches behind its remaining compute."""
+    sc_apply, sc_params, sc_spec = _scnet_setup()
+    mc_apply, mc_params, mc_spec = _melconf_setup()
     mix = make_song()
 
     def run():
-        a = demix(sc_apply, sc_params, mix, sc_spec)
-        b = demix(mc_apply, mc_params, mix, mc_spec)
+        a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1)
+        b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1)
         return np.concatenate([a.reshape(4, -1), b.reshape(1, -1)], axis=0)
 
-    best, compile_s = timed(run, runs)
+    best, compile_s, cache_new = timed(run, runs)
     emit("scnet_melconf_rtf", SONG_SECONDS / best, best, compile_s,
-         chunk_size=352800, batch_size=8, num_overlap=2,
+         cache_new=cache_new,
+         chunk_size=352800, batch_size=6, num_overlap=2,
          scnet_dims=[4, 32, 64, 128], melconf_dim=384, melconf_depth=8)
 
 
 def bench_ensemble_pipeline(runs=3):
-    """Ensemble (avg_wave) of three model outputs + phase_fixer + Apollo
-    restoration — the BASELINE post-processing mesh config. The stem inputs
-    are synthetic (the model forwards are benched above); this measures the
-    on-device post chain end to end."""
+    """REAL auto-ensemble data flow (reference auto_ensemble_process,
+    processing.py:798-1188): two actual model separations of the same song
+    (SCNet vocals + mel-band conformer vocals) feed the avg_wave ensemble,
+    then phase_fixer against the mix, then Apollo restoration — so the
+    recorded RTF covers every inter-stage host/device transfer of the
+    production multi-model chain, not just the post chain on synthetic
+    stems."""
     from sesa_tpu.models import apollo
     from sesa_tpu.postprocess.ensemble import ensemble_waveforms
     from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
 
-    waves = [make_song(seed=s, gain=0.25 + 0.02 * s) for s in range(3)]
-    source = make_song(seed=9)
+    sc_apply, sc_params, sc_spec = _scnet_setup()
+    mc_apply, mc_params, mc_spec = _melconf_setup()
+    mix = make_song()
 
     # Apollo universal model shape (look2hear): 44.1k, 20ms win, 256 feat,
     # 6 layers; GUI default chunk 19 s (apollo_processing.py)
@@ -263,14 +314,18 @@ def bench_ensemble_pipeline(runs=3):
                      num_stems=1)
 
     def run():
-        ens = ensemble_waveforms(waves, "avg_wave")
-        fixed = phase_fix_arrays(source, ens, SR)
-        restored = demix(ap_apply, params, fixed, spec)
+        voc_a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1)[3]
+        voc_b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1)[0]
+        ens = ensemble_waveforms([voc_a, voc_b], "avg_wave")
+        fixed = phase_fix_arrays(mix, ens, SR)
+        restored = demix(ap_apply, params, fixed, spec, seg_batches=1)
         return np.asarray(restored)
 
-    best, compile_s = timed(run, runs)
+    best, compile_s, cache_new = timed(run, runs)
     emit("ensemble_pipeline_rtf", SONG_SECONDS / best, best, compile_s,
-         n_models=3, method="avg_wave", apollo_chunk_s=19,
+         cache_new=cache_new,
+         chain="scnet+melconf -> avg_wave -> phase_fix -> apollo",
+         n_models=2, method="avg_wave", apollo_chunk_s=19,
          apollo_feature_dim=256, apollo_layers=6)
 
 

@@ -401,6 +401,20 @@ def demix(
             jnp.asarray(si * seg_batches * spec.batch_size, dtype=jnp.int32),
             batch_sharding,
         )
+        # Fetch no more than the song actually needs: the LAST segment's
+        # slab spans its full seg_batches*batch_size*step slots even when
+        # most are masked padding (at the default seg_batches a short song
+        # is ONE segment whose nominal slab can be several times the song
+        # — fetching it whole costs seconds of relay bandwidth). The
+        # eager device-side crop below means only real samples transfer;
+        # its tiny slice program varies with song length, like the final
+        # crop did before slab streaming.
+        hi_bound = (length - border) if padded else length_init
+        needed = min(slab_len, int(hi_bound) - si * slab_len)
+        if needed <= 0:
+            continue
+        if needed < slab_len:
+            slab = slab[..., :needed]
         try:
             slab.copy_to_host_async()
         except Exception:  # pragma: no cover - older jax / non-PJRT backends
@@ -413,7 +427,8 @@ def demix(
     hi = (length - border) if padded else length_init
     est = np.empty((spec.num_stems, spec.num_channels, hi - lo), dtype=np.float32)
     for si, slab in enumerate(slabs):
-        s0, s1 = si * slab_len, (si + 1) * slab_len
+        s0 = si * slab_len
+        s1 = s0 + slab.shape[-1]
         c0, c1 = max(s0, lo), min(s1, hi)
         if c0 >= c1:
             continue

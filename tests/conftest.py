@@ -22,3 +22,15 @@ if REPO_ROOT not in sys.path:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persist XLA CPU executables across pytest invocations: the smoke subset's
+# wall time is dominated by compiles, and the cache makes repeat runs (CI
+# re-runs, local iteration) start warm. Same directory bench.py uses; CPU
+# and TPU entries are keyed by platform so they never collide.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_traceback_in_locations_limit", 0)
+except Exception:
+    pass
