@@ -150,7 +150,7 @@ def bench_flagship(runs=5, hold=False):
                      num_stems=1)
     mix = make_song()
     best, compile_s, cache_new = timed(
-        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1, transport="int16"), runs)
     return emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
                 cache_new=cache_new, hold=hold, chunk_size=352800, batch_size=6, num_overlap=2,
                 seg_batches=1, dim=512, depth=12)
@@ -181,7 +181,7 @@ def bench_mdx23c(runs=3):
                      num_stems=2)
     mix = make_song()
     best, compile_s, cache_new = timed(
-        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1, transport="int16"), runs)
     emit("mdx23c_2stem_rtf", SONG_SECONDS / best, best, compile_s,
          cache_new=cache_new,
          chunk_size=261120, batch_size=8, num_overlap=2,
@@ -214,7 +214,7 @@ def bench_htdemucs(runs=3):
                      num_stems=4, demucs_mode=True)
     mix = make_song()
     best, compile_s, cache_new = timed(
-        lambda: demix(model_apply, params, mix, spec, seg_batches=1), runs)
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1, transport="int16"), runs)
     emit("htdemucs_4stem_rtf", SONG_SECONDS / best, best, compile_s,
          cache_new=cache_new,
          chunk_size=11 * SR, batch_size=8, num_overlap=2,
@@ -274,8 +274,8 @@ def bench_scnet_melconf(runs=3):
     mix = make_song()
 
     def run():
-        a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1)
-        b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1)
+        a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1, transport="int16")
+        b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1, transport="int16")
         return np.concatenate([a.reshape(4, -1), b.reshape(1, -1)], axis=0)
 
     best, compile_s, cache_new = timed(run, runs)
@@ -314,11 +314,11 @@ def bench_ensemble_pipeline(runs=3):
                      num_stems=1)
 
     def run():
-        voc_a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1)[3]
-        voc_b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1)[0]
+        voc_a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1, transport="int16")[3]
+        voc_b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1, transport="int16")[0]
         ens = ensemble_waveforms([voc_a, voc_b], "avg_wave")
         fixed = phase_fix_arrays(mix, ens, SR)
-        restored = demix(ap_apply, params, fixed, spec, seg_batches=1)
+        restored = demix(ap_apply, params, fixed, spec, seg_batches=1, transport="int16")
         return np.asarray(restored)
 
     best, compile_s, cache_new = timed(run, runs)

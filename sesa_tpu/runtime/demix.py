@@ -284,6 +284,24 @@ def _int16_to_f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) * (1.0 / 32768.0)
 
 
+@functools.partial(jax.jit, static_argnames=("needed",))
+def _crop_quant16(slab: jax.Array, needed: int):
+    """Crop a finalized slab to its real span and quantize it to int16.
+
+    Device->host transfer is the single largest non-compute demix cost on
+    the ~50 MB/s relay link (a 60 s 4-stem separation fetches 85 MB of
+    float32). Scaled-int16 transport halves the bytes; the quantization
+    noise floor sits ~90 dB below the slab peak — far beneath the ~48 dB
+    noise of the bf16 model compute that produced the samples — so for
+    bf16 sessions the transport is effectively lossless. One tiny program
+    per (slab shape, crop span), persistently cached like the crop slice.
+    """
+    s = slab[..., :needed] if needed < slab.shape[-1] else slab
+    m = jnp.maximum(jnp.max(jnp.abs(s)), 1e-12)
+    q = jnp.clip(jnp.round(s * (32767.0 / m)), -32767.0, 32767.0)
+    return q.astype(jnp.int16), m
+
+
 @jax.jit
 def _apply_affine(x: jax.Array, mean: jax.Array, std: jax.Array) -> jax.Array:
     return (x - mean) / std
@@ -323,6 +341,7 @@ def demix(
     progress_cb: Optional[Callable[[float], None]] = None,
     seg_batches: int = _SEG_BATCHES,
     affine: Optional[tuple] = None,
+    transport: str = "f32",
 ) -> np.ndarray:
     """Separate ``mix`` (channels, T) into ``(num_stems, channels, T)`` stems.
 
@@ -333,6 +352,11 @@ def demix(
     after upload — callers with normalize-enabled configs pass the raw
     audio (which stays int16-exact for the halved-bytes transfer) plus its
     host-computed stats, instead of uploading pre-normalized float32.
+
+    ``transport="int16"`` fetches output slabs as scaled int16 (half the
+    bytes of the default exact-float32 transport; ~90 dB SNR). Sessions
+    running bf16 compute enable it — the transport floor is far below the
+    compute noise (see _crop_quant16).
     """
     mix = np.asarray(mix, dtype=np.float32)
     assert mix.ndim == 2, f"mix must be (channels, T), got {mix.shape}"
@@ -413,26 +437,33 @@ def demix(
         needed = min(slab_len, int(hi_bound) - si * slab_len)
         if needed <= 0:
             continue
-        if needed < slab_len:
-            slab = slab[..., :needed]
+        if transport == "int16":
+            slab, scale = _crop_quant16(slab, min(needed, slab_len))
+        else:
+            scale = None
+            if needed < slab_len:
+                slab = slab[..., :needed]
         try:
             slab.copy_to_host_async()
         except Exception:  # pragma: no cover - older jax / non-PJRT backends
             pass
-        slabs.append(slab)
+        slabs.append((slab, scale))
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)
 
     lo = border if padded else 0
     hi = (length - border) if padded else length_init
     est = np.empty((spec.num_stems, spec.num_channels, hi - lo), dtype=np.float32)
-    for si, slab in enumerate(slabs):
+    for si, (slab, scale) in enumerate(slabs):
         s0 = si * slab_len
         s1 = s0 + slab.shape[-1]
         c0, c1 = max(s0, lo), min(s1, hi)
         if c0 >= c1:
             continue
-        est[..., c0 - lo : c1 - lo] = np.asarray(slab)[..., c0 - s0 : c1 - s0]
+        part = np.asarray(slab)[..., c0 - s0 : c1 - s0]
+        if scale is not None:
+            part = part.astype(np.float32) * (float(scale) / 32767.0)
+        est[..., c0 - lo : c1 - lo] = part
     return est
 
 

@@ -196,3 +196,18 @@ def test_affine_matches_host_normalization():
     tta_host = apply_tta(model_apply, params, (mix - m) / s, base_host, spec)
     tta_dev = apply_tta(model_apply, params, mix, dev, spec, affine=(m, s))
     np.testing.assert_allclose(tta_dev, tta_host, atol=1e-5)
+
+
+def test_int16_transport_close_and_seg_parity():
+    """transport="int16" (halved-bytes slab fetch) matches exact-f32
+    transport within the scaled-int16 quantization floor, across both the
+    single-segment crop path and the pipelined multi-segment path."""
+    rng = np.random.default_rng(7)
+    mix = rng.standard_normal((2, 100000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=4, num_stems=2)
+    exact = demix(_mix_model_jax, None, mix, spec)
+    for seg in (1, 8):
+        q = demix(_mix_model_jax, None, mix, spec, seg_batches=seg,
+                  transport="int16")
+        tol = np.abs(exact).max() / 32767.0
+        assert np.abs(q - exact).max() <= tol * 1.01, seg
