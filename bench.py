@@ -267,15 +267,23 @@ def _melconf_setup():
 def bench_scnet_melconf(runs=3):
     """SCNet 4-stem then mel-band conformer vocals over the same song — the
     BASELINE 'SCNet + mel-band conformer stems' config. RTF counts ONE pass
-    of the song through BOTH models (walls add). batch 6 x seg 1 pipelines
-    each model's output-slab fetches behind its remaining compute."""
+    of the song through BOTH models. The song uploads once (shared device
+    mix) and both jobs dispatch before either collects, so scnet's 42 MB
+    4-stem fetch hides behind melconf's compute (runtime/demix.py
+    DemixJob)."""
+    from sesa_tpu.runtime import demix_start, upload_mix
+
     sc_apply, sc_params, sc_spec = _scnet_setup()
     mc_apply, mc_params, mc_spec = _melconf_setup()
     mix = make_song()
 
     def run():
-        a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1, transport="int16")
-        b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1, transport="int16")
+        mix_dev = upload_mix(mix)
+        j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
+                         seg_batches=1, transport="int16")
+        j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
+                         seg_batches=1, transport="int16")
+        a, b = j1.collect(), j2.collect()
         return np.concatenate([a.reshape(4, -1), b.reshape(1, -1)], axis=0)
 
     best, compile_s, cache_new = timed(run, runs)
@@ -314,8 +322,14 @@ def bench_ensemble_pipeline(runs=3):
                      num_stems=1)
 
     def run():
-        voc_a = demix(sc_apply, sc_params, mix, sc_spec, seg_batches=1, transport="int16")[3]
-        voc_b = demix(mc_apply, mc_params, mix, mc_spec, seg_batches=1, transport="int16")[0]
+        from sesa_tpu.runtime import demix_start, upload_mix
+
+        mix_dev = upload_mix(mix)
+        j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
+                         seg_batches=1, transport="int16")
+        j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
+                         seg_batches=1, transport="int16")
+        voc_a, voc_b = j1.collect()[3], j2.collect()[0]
         ens = ensemble_waveforms([voc_a, voc_b], "avg_wave")
         fixed = phase_fix_arrays(mix, ens, SR)
         restored = demix(ap_apply, params, fixed, spec, seg_batches=1, transport="int16")

@@ -1,1 +1,2 @@
-from sesa_tpu.runtime.demix import DemixSpec, demix, apply_tta
+from sesa_tpu.runtime.demix import (DemixJob, DemixSpec, apply_tta, demix,
+                                    demix_start, upload_mix)

@@ -358,7 +358,75 @@ def demix(
     running bf16 compute enable it — the transport floor is far below the
     compute noise (see _crop_quant16).
     """
-    mix = np.asarray(mix, dtype=np.float32)
+    return demix_start(
+        model_apply, params, mix, spec, mesh=mesh, progress_cb=progress_cb,
+        seg_batches=seg_batches, affine=affine, transport=transport,
+    ).collect()
+
+
+class DemixJob:
+    """A dispatched separation whose output has not been assembled yet.
+
+    ``demix_start`` returns immediately after queuing every segment's
+    compute and (for the last slabs) their device-side crop/quantize; the
+    host-side slab fetches happen in :meth:`collect`. Because the relay
+    serves fetches of finished buffers while queued programs still
+    compute, starting a SECOND model's job before collecting the first
+    hides the first job's multi-MB output transfer behind the second's
+    compute — the auto-ensemble orchestration and the multi-model bench
+    configs overlap whole models this way.
+    """
+
+    def __init__(self, spec, slabs, slab_len, lo, hi):
+        self._spec = spec
+        self._slabs = slabs
+        self._slab_len = slab_len
+        self._lo = lo
+        self._hi = hi
+
+    def collect(self) -> np.ndarray:
+        spec, slab_len, lo, hi = self._spec, self._slab_len, self._lo, self._hi
+        scales = [s for _, s in self._slabs if s is not None]
+        if scales:
+            # one round trip for every slab's quantization scale (a
+            # float() per slab costs a full relay round trip each)
+            scales = iter(np.asarray(jnp.stack(scales)))
+        est = np.empty((spec.num_stems, spec.num_channels, hi - lo),
+                       dtype=np.float32)
+        for si, (slab, scale) in enumerate(self._slabs):
+            s0 = si * slab_len
+            s1 = s0 + slab.shape[-1]
+            c0, c1 = max(s0, lo), min(s1, hi)
+            if c0 >= c1:
+                continue
+            part = np.asarray(slab)[..., c0 - s0 : c1 - s0]
+            if scale is not None:
+                part = part.astype(np.float32) * (float(next(scales)) / 32767.0)
+            est[..., c0 - lo : c1 - lo] = part
+        return est
+
+
+def demix_start(
+    model_apply: ModelApply,
+    params,
+    mix,
+    spec: DemixSpec,
+    *,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress_cb: Optional[Callable[[float], None]] = None,
+    seg_batches: int = _SEG_BATCHES,
+    affine: Optional[tuple] = None,
+    transport: str = "f32",
+) -> DemixJob:
+    """Dispatch a separation and return a :class:`DemixJob` (see demix).
+
+    ``mix`` may be a host array or a DEVICE array previously returned by
+    :func:`upload_mix` — multi-model flows over the same song upload it
+    once instead of paying the host->device transfer per model.
+    """
+    on_device = isinstance(mix, jax.Array)
+    if not on_device:
+        mix = np.asarray(mix, dtype=np.float32)
     assert mix.ndim == 2, f"mix must be (channels, T), got {mix.shape}"
     length_init = mix.shape[-1]
     border = spec.border
@@ -380,7 +448,7 @@ def demix(
     # upload only the raw mix; border reflect pad and buffer zero pad happen
     # on device (the relay link is ~50 MB/s — padding host-side costs real
     # seconds of upload on long songs)
-    mix_dev = _upload_mix(mix)
+    mix_dev = mix if on_device else _upload_mix(mix)
     if affine is not None:
         mix_dev = _apply_affine(mix_dev, jnp.float32(affine[0]),
                                 jnp.float32(affine[1]))
@@ -453,18 +521,20 @@ def demix(
 
     lo = border if padded else 0
     hi = (length - border) if padded else length_init
-    est = np.empty((spec.num_stems, spec.num_channels, hi - lo), dtype=np.float32)
-    for si, (slab, scale) in enumerate(slabs):
-        s0 = si * slab_len
-        s1 = s0 + slab.shape[-1]
-        c0, c1 = max(s0, lo), min(s1, hi)
-        if c0 >= c1:
-            continue
-        part = np.asarray(slab)[..., c0 - s0 : c1 - s0]
-        if scale is not None:
-            part = part.astype(np.float32) * (float(scale) / 32767.0)
-        est[..., c0 - lo : c1 - lo] = part
-    return est
+    return DemixJob(spec, slabs, slab_len, lo, hi)
+
+
+def upload_mix(mix: np.ndarray) -> jax.Array:
+    """Upload a (channels, T) mix once for reuse across demix calls.
+
+    The returned device array can be passed as ``mix`` to demix /
+    demix_start; multi-model flows (auto-ensemble, model chains) skip the
+    per-model host->device transfer this way. Uses the same lossless
+    halved-bytes int16 path as the internal upload.
+    """
+    mix = np.asarray(mix, dtype=np.float32)
+    assert mix.ndim == 2, f"mix must be (channels, T), got {mix.shape}"
+    return _upload_mix(mix)
 
 
 def apply_tta(

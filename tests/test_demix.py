@@ -211,3 +211,23 @@ def test_int16_transport_close_and_seg_parity():
                   transport="int16")
         tol = np.abs(exact).max() / 32767.0
         assert np.abs(q - exact).max() <= tol * 1.01, seg
+
+
+def test_demix_start_overlap_and_shared_upload():
+    """Two jobs dispatched before either collects (the multi-model overlap
+    path) match sequential demix exactly, including from a shared
+    pre-uploaded device mix."""
+    from sesa_tpu.runtime.demix import demix_start, upload_mix
+
+    rng = np.random.default_rng(11)
+    mix = rng.standard_normal((2, 80000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=2, num_stems=2)
+    seq = demix(_mix_model_jax, None, mix, spec, seg_batches=1)
+
+    mix_dev = upload_mix(mix)
+    j1 = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=1)
+    j2 = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=1,
+                     transport="int16")
+    a, b = j1.collect(), j2.collect()
+    np.testing.assert_allclose(a, seq, atol=1e-6)
+    assert np.abs(b - seq).max() <= np.abs(seq).max() / 32767.0 * 1.01
