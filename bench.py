@@ -331,7 +331,9 @@ def bench_ensemble_pipeline(runs=3):
                          seg_batches=1, transport="int16")
         voc_a, voc_b = j1.collect()[3], j2.collect()[0]
         ens = ensemble_waveforms([voc_a, voc_b], "avg_wave")
-        fixed = phase_fix_arrays(mix, ens, SR)
+        # the song is already on device; the phase-fixed result stays
+        # there and feeds Apollo's demix directly (no host round trip)
+        fixed = phase_fix_arrays(mix_dev, ens, SR, return_device=True)
         restored = demix(ap_apply, params, fixed, spec, seg_batches=1, transport="int16")
         return np.asarray(restored)
 

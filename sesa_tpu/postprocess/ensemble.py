@@ -37,20 +37,11 @@ def _stack_truncate(waves: Sequence[np.ndarray]) -> np.ndarray:
 
 def _waveform_combine(stack: np.ndarray, method: str,
                       weights: Optional[np.ndarray]) -> np.ndarray:
-    x = jnp.asarray(stack)
-    if method == "avg_wave":
-        if weights is not None:
-            w = jnp.asarray(weights, dtype=jnp.float32)
-            w = w / w.sum()
-            return np.asarray(jnp.tensordot(w, x, axes=1))
-        return np.asarray(jnp.mean(x, axis=0))
-    if method == "median_wave":
-        return np.asarray(jnp.median(x, axis=0))
-    if method == "max_wave":
-        return np.asarray(jnp.max(x, axis=0))
-    if method == "min_wave":
-        return np.asarray(jnp.min(x, axis=0))
-    raise ValueError(method)
+    # host numpy, NOT device ops: these reductions are memory-bound with
+    # trivial compute, and on the TPU relay link the (N, ch, T) upload +
+    # result download (~60 MB for two 60 s stems) costs seconds while the
+    # host mean costs milliseconds
+    return _waveform_combine_np(stack, method, weights)
 
 
 def _spectral_combine(stack: np.ndarray, method: str) -> Optional[np.ndarray]:
