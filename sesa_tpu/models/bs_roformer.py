@@ -90,6 +90,17 @@ class RoformerSpec:
     # bs_roformer_experimental.py:239-258); experimental model types set
     # this so that semantics apply regardless of the VR flag
     experimental_forward: bool = False
+    # The bs and mel reference files define DIFFERENT MLP builders for the
+    # mask estimator: bs_roformer.py:262 uses (depth-1) hidden layers,
+    # mel_band_roformer.py:271 (and mel_band_conformer.py:45) uses depth
+    # hidden layers — one extra Linear+Tanh for the same config value.
+    # Mel variants set this flag (caught by the true-reference oracle,
+    # tests/test_reference_roformer_oracles.py).
+    mel_mlp_convention: bool = False
+
+    @property
+    def mask_hidden_layers(self) -> int:
+        return self.mask_estimator_depth - 1 + int(self.mel_mlp_convention)
 
     @property
     def audio_channels(self) -> int:
@@ -220,7 +231,7 @@ def init_from_spec(rng, spec: RoformerSpec, transformer_norm_output: bool = Fals
         "layers": layers,
         "mask_estimators": [
             B.mask_estimator_init(next(keys), plan, spec.dim,
-                                  spec.mask_estimator_depth,
+                                  spec.mask_hidden_layers,
                                   spec.mlp_expansion_factor)
             for _ in range(spec.num_stems)
         ],
@@ -448,9 +459,9 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
 
     mask_estimators = []
     for s in range(spec.num_stems):
-        depth = spec.mask_estimator_depth
+        n_hidden = spec.mask_hidden_layers
         hidden = []
-        for li in range(depth - 1):
+        for li in range(n_hidden):
             # MLP Sequential: Linear at even indices (act between)
             hidden.append(
                 {
@@ -464,7 +475,7 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
                     ),
                 }
             )
-        last = 2 * (depth - 1)
+        last = 2 * n_hidden
         groups = []
         for g, ids in enumerate(plan.group_band_ids):
             groups.append(
@@ -479,18 +490,31 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
             )
         mask_estimators.append({"hidden": hidden, "groups": groups})
 
+    # The reference builds ONE shared RotaryEmbedding per axis and hands it
+    # to every Transformer (bs_roformer.py:384-397); torch registers the
+    # shared module under each attention layer, so real checkpoints carry
+    # `layers.{d}.{j}.layers.{i}.0.rotary_embed.freqs` (identical tensors).
+    # Older exports may instead have top-level `time_rotary_embed.freqs`.
+    j0 = 1 if spec.linear_transformer_depth > 0 else 0
+
+    def rope_freqs(legacy_key, j):
+        if legacy_key in sd:
+            return take(legacy_key)
+        return take(f"layers.0.{j}.layers.0.0.rotary_embed.freqs")
+
     params = {
         "band_split": {"groups": bs_groups},
         "layers": layers,
         "mask_estimators": mask_estimators,
-        "rope_time_freqs": take("time_rotary_embed.freqs"),
-        "rope_freq_freqs": take("freq_rotary_embed.freqs"),
+        "rope_time_freqs": rope_freqs("time_rotary_embed.freqs", j0),
+        "rope_freq_freqs": rope_freqs("freq_rotary_embed.freqs", j0 + 1),
     }
     if final_norm:
         params["final_norm_gamma"] = take("final_norm.gamma")
 
     unused = {k for k in set(sd) - used if not k.endswith(("freqs_per_band",
-              "freq_indices", "num_freqs_per_band", "num_bands_per_freq"))}
+              "freq_indices", "num_freqs_per_band", "num_bands_per_freq",
+              ".rotary_embed.freqs"))}
     if unused:
         raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
     return params

@@ -61,6 +61,7 @@ def init(rng, config):
         "band_split": B.band_split_init(next(keys), plan, kw["dim"]),
         "layers": layers,
         "mask_estimators": [
+            # mel MLP convention: n_hidden == mask_estimator_depth
             B.mask_estimator_init(next(keys), plan, kw["dim"],
                                   kw["mask_estimator_depth"], 4)
             for _ in range(kw["num_stems"])
@@ -144,15 +145,17 @@ def convert_torch(state_dict, config):
 
     mask_estimators = []
     for s in range(kw["num_stems"]):
-        depth = kw["mask_estimator_depth"]
+        # mel MLP convention: depth hidden layers, not depth-1 (reference
+        # mel_band_conformer.py:45; see RoformerSpec.mask_hidden_layers)
+        n_hidden = kw["mask_estimator_depth"]
         hidden = [
             {"weight": jnp.stack([take(f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.weight").T
                                   for i in range(plan.num_bands)]),
              "bias": jnp.stack([take(f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.bias")
                                 for i in range(plan.num_bands)])}
-            for li in range(depth - 1)
+            for li in range(n_hidden)
         ]
-        last = 2 * (depth - 1)
+        last = 2 * n_hidden
         groups = [
             {"weight": jnp.stack([take(f"mask_estimators.{s}.to_freqs.{i}.0.{last}.weight").T for i in ids]),
              "bias": jnp.stack([take(f"mask_estimators.{s}.to_freqs.{i}.0.{last}.bias") for i in ids])}

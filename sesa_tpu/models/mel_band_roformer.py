@@ -57,7 +57,9 @@ def spec_from_config(model_cfg: dict) -> RoformerSpec:
     stereo = bool(cfg.get("stereo", False))
     n_fft = int(cfg.get("stft_n_fft", 2048))
     feats = mel_band_feats(num_bands, sample_rate, n_fft, stereo)
-    return RoformerSpec(band_feats=feats, **cfg)
+    # the mel file's MLP builder has one more hidden layer per depth than
+    # the bs file's (reference mel_band_roformer.py:271 vs bs_roformer.py:262)
+    return RoformerSpec(band_feats=feats, mel_mlp_convention=True, **cfg)
 
 
 def init(rng, config):

@@ -127,14 +127,19 @@ def band_split_apply(plan: BandPlan, params, x, precision=_HIGHEST):
 # mask estimator: per-band MLP + GLU -> packed feature mask (B, T, F2)
 # --------------------------------------------------------------------------
 
-def mask_estimator_init(rng, plan: BandPlan, dim: int, depth: int, expansion: int = 4):
+def mask_estimator_init(rng, plan: BandPlan, dim: int, n_hidden: int,
+                        expansion: int = 4):
+    """``n_hidden`` = number of hidden Linear+Tanh layers before the final
+    GLU Linear. NOTE the bs and mel reference files map the same
+    ``mask_estimator_depth`` config to different counts (bs: depth-1,
+    mel: depth) — see RoformerSpec.mask_hidden_layers."""
     from sesa_tpu.models.layers import kaiming_uniform
 
     hidden = dim * expansion
-    keys = iter(jax.random.split(rng, 2 * depth + 2 * len(plan.group_feat_idx) + 4))
+    keys = iter(jax.random.split(rng, 2 * n_hidden + 2 * len(plan.group_feat_idx) + 6))
     params = {"hidden": []}
     d_in = dim
-    for _ in range(depth - 1):
+    for _ in range(n_hidden):
         params["hidden"].append(
             {
                 "weight": kaiming_uniform(next(keys), (plan.num_bands, d_in, hidden), d_in),

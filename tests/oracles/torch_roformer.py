@@ -269,10 +269,13 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
         outs = []
         for i in range(nb):
             h = z[:, :, i, :]
-            for li in range(mask_depth - 1):
+            # mel MLP convention has one more hidden layer per depth than
+            # bs (reference mel_band_roformer.py:271 vs bs_roformer.py:262)
+            n_hidden = mask_depth - 1 + (1 if variant == "mel" else 0)
+            for li in range(n_hidden):
                 h = torch.tanh(F.linear(h, sd[f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.weight"],
                                         sd[f"mask_estimators.{s}.to_freqs.{i}.0.{2*li}.bias"]))
-            last = 2 * (mask_depth - 1)
+            last = 2 * n_hidden
             h = F.linear(h, sd[f"mask_estimators.{s}.to_freqs.{i}.0.{last}.weight"],
                          sd[f"mask_estimators.{s}.to_freqs.{i}.0.{last}.bias"])
             h = F.glu(h, dim=-1)
