@@ -37,7 +37,7 @@ def sdpa(
         scale = q.shape[-1] ** -0.5
 
     seq, dim_head = q.shape[-2], q.shape[-1]
-    if (q.shape == k.shape == v.shape) and _use_pallas(seq, dim_head):
+    if (q.shape == k.shape == v.shape) and _use_pallas(seq, dim_head, q.dtype):
         lead = q.shape[:-2]
         out = _vmem_attention(
             q.reshape((-1, seq, dim_head)),
@@ -173,8 +173,13 @@ _PALLAS_MIN_SEQ = 256
 _PALLAS_MAX_SEQ = 2048
 
 
-def _use_pallas(seq: int, dim_head: int) -> bool:
+def _use_pallas(seq: int, dim_head: int, dtype=None) -> bool:
     if not (_PALLAS_MIN_SEQ <= seq <= _PALLAS_MAX_SEQ) or dim_head > 128:
+        return False
+    if dtype is not None and dtype != jnp.bfloat16:
+        # f32 (parity / bf16-rescue mode) doubles the kernel's VMEM
+        # footprint past the 16 MB scoped limit at production shapes —
+        # keep it on the einsum path
         return False
     try:
         return jax.devices()[0].platform != "cpu"
