@@ -20,6 +20,8 @@ import threading
 import time
 from typing import Dict, Generator, List, Optional
 
+import numpy as np
+
 from sesa_tpu import helpers
 from sesa_tpu.config_manager import clean_model
 
@@ -239,6 +241,10 @@ def auto_ensemble_process(
     per_model = 80 // max(1, len(selected_models))
     collected: Dict[str, List] = {}
     sr_out = 44100
+    # consecutive models at the same sample rate reuse ONE uploaded device
+    # copy of the song (runtime.upload_mix) — the host->device transfer is
+    # ~0.2 s per 60 s song on the relay link, paid once instead of N times
+    upload_cache: Dict[tuple, object] = {}
 
     for mi, model in enumerate(selected_models):
         yield {"progress": mi * per_model,
@@ -247,6 +253,17 @@ def auto_ensemble_process(
         session = _make_session(model, chunk_size, overlap)
         mix, sr = read_audio(input_audio_file, target_sr=session.sample_rate)
         sr_out = sr
+        mix_dev = None
+        try:
+            from sesa_tpu.runtime import upload_mix
+
+            key = (sr, mix.shape)
+            if key not in upload_cache:
+                upload_cache[key] = upload_mix(
+                    np.repeat(mix, 2, axis=0) if mix.shape[0] == 1 else mix)
+            mix_dev = upload_cache[key]
+        except Exception:
+            mix_dev = None  # upload sharing is an optimization only
         # live per-model progress (same worker-thread pattern as
         # process_audio; reference streams per-percent, processing.py:910-979)
         events: "queue.Queue[Optional[int]]" = queue.Queue()
@@ -255,12 +272,12 @@ def auto_ensemble_process(
         def on_progress(frac, _mi=mi):
             events.put(clamp_percentage((_mi + frac) * per_model))
 
-        def worker(_session=session, _mix=mix):
+        def worker(_session=session, _mix=mix, _mix_dev=mix_dev):
             try:
                 result["waveforms"] = _session.separate_with_extras(
                     _mix, use_tta=use_tta,
                     extract_instrumental=extract_instrumental,
-                    progress_cb=on_progress)
+                    progress_cb=on_progress, mix_device=_mix_dev)
             except BaseException as e:
                 result["error"] = e
             finally:

@@ -146,17 +146,25 @@ class InferenceSession:
         *,
         use_tta: bool = False,
         progress_cb: Optional[Callable[[float], None]] = None,
+        mix_device=None,
     ) -> Dict[str, np.ndarray]:
         """(channels, T) -> {instrument: (channels, T)} separated stems.
 
         Mirrors reference run_folder (inference.py:84-132): optional
         mono-statistics normalization, demix, optional TTA, denormalize.
+
+        ``mix_device`` (from :func:`sesa_tpu.runtime.upload_mix`) skips the
+        per-model host->device song transfer when several sessions
+        separate the same audio (the auto-ensemble flow); normalization
+        stats still come from the host ``mix``.
         """
         mix = np.asarray(mix, dtype=np.float32)
         if mix.ndim == 1:
             mix = mix[None]
         if mix.shape[0] == 1 and self.spec.num_channels == 2:
             mix = np.repeat(mix, 2, axis=0)
+        if mix_device is not None and tuple(mix_device.shape) != mix.shape:
+            mix_device = None  # channel fixup changed the shape; re-upload
 
         cfg = self.config.to_dict() if hasattr(self.config, "to_dict") else dict(self.config)
         norm = None
@@ -174,7 +182,9 @@ class InferenceSession:
         # sessions — oracles, rescue reruns — keep exact transport)
         transport = "int16" if self.compute_dtype is not None else "f32"
         apply_fn = self._model_apply()
-        stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
+        stems = demix(apply_fn, self.params,
+                      mix if mix_device is None else mix_device,
+                      self.spec, mesh=self.mesh,
                       progress_cb=progress_cb, affine=affine,
                       transport=transport)
         if self.compute_dtype is not None and not np.isfinite(stems).all():
@@ -206,6 +216,7 @@ class InferenceSession:
         extract_instrumental: bool = False,
         demud_phaseremix_inst: bool = False,
         progress_cb=None,
+        mix_device=None,
     ) -> Dict[str, np.ndarray]:
         """separate() plus the reference CLI's derived outputs
         (reference inference.py:103-126): instrumental = mix − vocals, and
@@ -217,7 +228,8 @@ class InferenceSession:
             mix = np.repeat(mix, 2, axis=0)
         mix_orig = mix.copy()
 
-        waveforms = self.separate(mix, use_tta=use_tta, progress_cb=progress_cb)
+        waveforms = self.separate(mix, use_tta=use_tta, progress_cb=progress_cb,
+                                  mix_device=mix_device)
         instruments = list(waveforms)
 
         if demud_phaseremix_inst:

@@ -164,3 +164,15 @@ def test_transformer_apply_vr_unchanged_on_cpu():
     out2, _ = core.transformer_apply_vr(p_later, out, 2, rope=rope,
                                         value_residual=first_v)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_pallas_sdpa_gate_rejects_f32():
+    """f32 sdpa must stay on the einsum path: the VMEM kernel's f32
+    footprint exceeds the 16 MB scoped limit at production shapes
+    (remote compile failure caught by tools/int8_eval.py)."""
+    import jax.numpy as jnp
+
+    from sesa_tpu.ops.attention import _use_pallas
+
+    assert not _use_pallas(690, 64, jnp.float32)
+    assert not _use_pallas(690, 64, jnp.float16)

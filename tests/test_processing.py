@@ -14,7 +14,8 @@ class FakeSession:
     sample_rate = 44100
 
     def separate_with_extras(self, mix, use_tta=False, extract_instrumental=False,
-                             demud_phaseremix_inst=False, progress_cb=None):
+                             demud_phaseremix_inst=False, progress_cb=None,
+                             mix_device=None):
         if progress_cb:
             for frac in (0.25, 0.5, 0.75, 1.0):
                 progress_cb(frac)
