@@ -1,4 +1,5 @@
 from sesa_tpu.parallel.mesh import (
+    conformer_tp_rule,
     make_mesh,
     replicate,
     roformer_tp_rule,

@@ -64,6 +64,34 @@ def roformer_tp_rule(mesh: Mesh):
     return rule
 
 
+def conformer_tp_rule(mesh: Mesh):
+    """Megatron-style layout for the conformer family's param tree.
+
+    Conformer linears keep torch (out, in) orientation: the two FF
+    expansions and q/kv projections split on the output dim, the FF
+    contraction and attention out-projection on the input dim, so each
+    ff/attn pair costs one all-reduce. The conv module (depthwise +
+    BatchNorm) and norms stay replicated — they are a few percent of the
+    FLOPs and sharding the GLU-paired pointwise convs buys nothing.
+    """
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        parent = keys[-2] if len(keys) >= 2 else None
+        name = keys[-1] if keys else None
+        if parent in ("lin1", "to_q", "to_kv") and name == "weight":
+            spec = P("model", None)
+        elif parent == "lin1" and name == "bias":
+            spec = P("model")
+        elif parent in ("lin2", "to_out") and name == "weight":
+            spec = P(None, "model")
+        else:
+            spec = P(*([None] * np.ndim(leaf)))
+        return NamedSharding(mesh, spec)
+
+    return rule
+
+
 def shard_params(mesh: Mesh, params, rule=None):
     """Place a param tree according to ``rule`` (default: roformer TP)."""
     rule = rule or roformer_tp_rule(mesh)

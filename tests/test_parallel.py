@@ -71,3 +71,33 @@ def test_demix_sharded_matches_single():
         assert False, "expected ValueError"
     except ValueError as e:
         assert "divisible" in str(e)
+
+
+def test_conformer_tp_sharded_matches_replicated():
+    """GSPMD forward of a TP-sharded mel_band_conformer equals the
+    replicated forward (XLA inserts the all-reduces)."""
+    import jax.numpy as jnp
+    from ml_collections import ConfigDict
+
+    from sesa_tpu.models import mel_band_conformer
+    from sesa_tpu.parallel import conformer_tp_rule
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = ConfigDict({"model": dict(
+        dim=32, depth=1, stereo=True, num_stems=1, num_bands=12,
+        time_conformer_depth=1, freq_conformer_depth=1,
+        stft_n_fft=128, stft_hop_length=32, stft_win_length=128)})
+    params = mel_band_conformer.init(jax.random.PRNGKey(0), cfg)
+    x = jax.numpy.asarray(
+        np.random.default_rng(0).standard_normal((2, 2, 2048)).astype(np.float32) * 0.1)
+
+    ref = np.asarray(mel_band_conformer.apply(params, cfg, x))
+
+    placed = shard_params(mesh, params, rule=conformer_tp_rule(mesh))
+    lin1 = placed["layers"][0]["time"]["layers"][0]["ff1"]["lin1"]["weight"]
+    assert lin1.sharding.spec == jax.sharding.PartitionSpec("model", None)
+
+    with mesh:
+        got = np.asarray(jax.jit(
+            lambda p, v: mel_band_conformer.apply(p, cfg, v))(placed, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
