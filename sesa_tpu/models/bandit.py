@@ -196,7 +196,11 @@ def convert_torch(state_dict, config):
     ]
 
     seqband = []
-    for j in range(0, 4 * kw["n_sqm_modules"], 2):
+    # v1's SeqBandModellingModule is a ModuleList with CONSECUTIVE entries
+    # (reference bandit/core/model/bsrnn/tfmodel.py:111-137), unlike v2's
+    # Sequential with Transpose placeholders at odd indices — caught by the
+    # true-reference oracle (tests/test_reference_bandit_oracles.py)
+    for j in range(2 * kw["n_sqm_modules"]):
         p = f"bsrnn.tf_model.seqband.{j}"
         seqband.append({
             "norm": wb(f"{p}.norm"),

@@ -277,8 +277,19 @@ def convert_torch(state_dict, config):
         mask_estim[stem] = bands
 
     params = {"band_split": band_split, "seqband": seqband, "mask_estim": mask_estim}
+
+    def _alias(k):
+        # v2's NormMLP registers its norm/hidden/output modules BOTH as
+        # attributes and inside `combined = Sequential(...)` (reference
+        # bandit_v2/maskestim.py:31-79), so real checkpoints carry the
+        # same tensors twice; the converter reads the combined.* copies
+        import re
+
+        return re.search(r"\.norm_mlp\.\d+\.(norm|hidden|output)\.", k)
+
     unused = {k for k in set(sd) - used
-              if not k.startswith(("stft.", "istft.")) and "freq_weights" not in k}
+              if not k.startswith(("stft.", "istft.")) and "freq_weights" not in k
+              and not _alias(k)}
     if unused:
         raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
     return params

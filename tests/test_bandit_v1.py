@@ -38,7 +38,9 @@ def export_state_dict(params, kw, specs):
         put(f"bsrnn.band_split.norm_fc_modules.{i}.norm", bp["norm"])
         put(f"bsrnn.band_split.norm_fc_modules.{i}.fc", bp["fc"])
     for idx, p in enumerate(params["seqband"]):
-        j = idx * 2
+        # v1's ModuleList has CONSECUTIVE entries (no Transpose placeholders
+        # like v2) — real-checkpoint layout, tests/test_reference_bandit_oracles
+        j = idx
         put(f"bsrnn.tf_model.seqband.{j}.norm", p["norm"])
         put(f"bsrnn.tf_model.seqband.{j}.fc", p["fc"])
         for d, suf in (("fwd", ""), ("bwd", "_reverse")):
@@ -81,7 +83,7 @@ def oracle_forward(sd, kw, specs, freq_weights, x):
                            sd[f"bsrnn.band_split.norm_fc_modules.{i}.fc.bias"]))
     z = torch.stack(zs, 1)
 
-    for j in range(0, 4 * kw["n_sqm_modules"], 2):
+    for j in range(2 * kw["n_sqm_modules"]):
         p = f"bsrnn.tf_model.seqband.{j}"
         z0 = z.clone()
         zn = F.layer_norm(z, (emb,), sd[f"{p}.norm.weight"], sd[f"{p}.norm.bias"])
