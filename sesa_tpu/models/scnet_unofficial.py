@@ -285,13 +285,16 @@ def apply(params, config, x, precision=None):
             stride = kw["downsample_strides"][bi]
             xb = y[:, lo:hi]
             xb = jnp.transpose(xb, (0, 3, 1, 2))
+            # ConvTranspose2d output_padding extends the output BEFORE the
+            # bias add, so the extra freq rows carry the bias, not zeros
+            # (caught by the true-reference oracle): pad unbiased, then bias
             up = L.conv_transpose2d(xb, blk["ups"][bi]["weight"],
-                                    blk["ups"][bi]["bias"], stride=(stride, 1),
+                                    None, stride=(stride, 1),
                                     precision=precision)
-            # ConvTranspose output_padding: pad the end of the freq axis
             cur = up.shape[2]
             if cur < target:
                 up = jnp.pad(up, ((0, 0), (0, 0), (0, target - cur), (0, 0)))
+            up = up + blk["ups"][bi]["bias"][None, :, None, None]
             outs.append(jnp.transpose(up[:, :, :target], (0, 2, 3, 1)))
         z = jnp.concatenate(outs, axis=1)
 
