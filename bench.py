@@ -21,6 +21,7 @@ htdemucs_ft (demucs4ht.py:28-693), SCNet (scnet/scnet.py:230-373), mel-band
 conformer (mel_band_conformer.py), Apollo universal (look2hear).
 """
 
+import functools
 import json
 import os
 import sys
@@ -126,10 +127,19 @@ def emit(metric, rtf, best, compile_s, cache_new=None, hold=False, **detail):
 # --------------------------------------------------------------------------
 
 
-def bench_flagship(runs=5, hold=False):
+@functools.lru_cache(maxsize=1)
+def _flagship_setup():
+    """Flagship bs_roformer (viperx vocals architecture — reference
+    model.py:650) at the production demix shape. Single source of truth:
+    the perf tools (int8_eval, long_song_probe) import this so every
+    sweep measures the exact model the bench reports.
+
+    batch 6 x seg_batches 1: the 17-chunk song runs as 3 pipelined
+    segments, so two of the three output-slab fetches hide behind the
+    next segment's compute (tools/pipeline_sweep.json; re-verified under
+    int16 transport: seg1 29.6x vs seg3 23.6x interleaved)."""
     from sesa_tpu.models import bs_roformer
 
-    # viperx vocals architecture — reference model.py:650
     config = ConfigDict({"model": dict(
         dim=512, depth=12, stereo=True, num_stems=1,
         time_transformer_depth=1, freq_transformer_depth=1,
@@ -141,13 +151,13 @@ def bench_flagship(runs=5, hold=False):
     def model_apply(p, chunks):
         return bs_roformer.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
 
-    # batch 6 x seg_batches 1: the 17-chunk song runs as 3 pipelined
-    # segments, so two of the three output-slab fetches hide behind the
-    # next segment's compute (tools/pipeline_sweep.json: 23.5x single
-    # segment -> 27.4x pipelined, and the tightest wall spread of the
-    # sweep). The one masked pad chunk costs ~6% extra forward compute.
     spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
                      num_stems=1)
+    return model_apply, params, spec
+
+
+def bench_flagship(runs=5, hold=False):
+    model_apply, params, spec = _flagship_setup()
     mix = make_song()
     best, compile_s, cache_new = timed(
         lambda: demix(model_apply, params, mix, spec, seg_batches=1, transport="int16"), runs)
@@ -219,9 +229,6 @@ def bench_htdemucs(runs=3):
          cache_new=cache_new,
          chunk_size=11 * SR, batch_size=8, num_overlap=2,
          channels=48, t_layers=5, bottom_channels=512)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=1)

@@ -106,9 +106,11 @@ def _attn_apply(p, x, heads, precision):
     v = jnp.transpose(v[:, :, 0], (0, 2, 1, 3))
     scale = dh ** -0.5
 
-    # Shaw relative position bias: q · E_rel[dist] (lucidrains conformer)
+    # Shaw relative position bias: q · E_rel[dist] (lucidrains conformer,
+    # dist[i, j] = i - j — the table is learned and non-symmetric, so the
+    # sign convention matters for real checkpoints)
     seq = np.arange(n)
-    dist = np.clip(seq[None, :] - seq[:, None], -_MAX_POS_EMB, _MAX_POS_EMB) + _MAX_POS_EMB
+    dist = np.clip(seq[:, None] - seq[None, :], -_MAX_POS_EMB, _MAX_POS_EMB) + _MAX_POS_EMB
     rel = jnp.take(p["rel_pos_emb"], jnp.asarray(dist, dtype=jnp.int32), axis=0)  # (n, n, dh)
     pos_attn = jnp.einsum("bhnd,nrd->bhnr", q, rel, precision=precision) * scale
 

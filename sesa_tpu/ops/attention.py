@@ -615,11 +615,12 @@ def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
     if sp != n or bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
 
-    # pre-clipped expanded table: row r covers relative distance r-(sp-1);
-    # rows past 2·sp-2 are never read (roll indices stay in [0, 2sp-2])
+    # pre-clipped expanded table: the kernel's per-row roll reads row
+    # r = (j-i)+(sp-1), and lucidrains' Shaw convention is dist = i-j, so
+    # row r maps to table[clip((sp-1)-r)]; rows past 2·sp-2 never read
     w_roll = 2 * sp
     max_pos = (rel_pos_emb.shape[0] - 1) // 2
-    rel_idx = np.clip(np.arange(w_roll) - (sp - 1), -max_pos, max_pos) + max_pos
+    rel_idx = np.clip((sp - 1) - np.arange(w_roll), -max_pos, max_pos) + max_pos
     e_exp = rel_pos_emb[jnp.asarray(rel_idx, jnp.int32)].astype(x.dtype)
 
     def const(shape):

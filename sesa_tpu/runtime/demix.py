@@ -503,19 +503,19 @@ def demix_start(
         # crop did before slab streaming.
         hi_bound = (length - border) if padded else length_init
         needed = min(slab_len, int(hi_bound) - si * slab_len)
-        if needed <= 0:
-            continue
-        if transport == "int16":
-            slab, scale = _crop_quant16(slab, min(needed, slab_len))
-        else:
-            scale = None
-            if needed < slab_len:
-                slab = slab[..., :needed]
-        try:
-            slab.copy_to_host_async()
-        except Exception:  # pragma: no cover - older jax / non-PJRT backends
-            pass
-        slabs.append((slab, scale))
+        if needed > 0:  # a trailing slab fully inside the reflect border
+            # carries no real samples — skip its fetch (not its progress)
+            if transport == "int16":
+                slab, scale = _crop_quant16(slab, needed)
+            else:
+                scale = None
+                if needed < slab_len:
+                    slab = slab[..., :needed]
+            try:
+                slab.copy_to_host_async()
+            except Exception:  # pragma: no cover - non-PJRT backends
+                pass
+            slabs.append((slab, scale))
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)
 

@@ -192,6 +192,7 @@ class InferenceSession:
             # rescue (pytorch_backend.py:315-332): retry in full f32
             print("non-finite output under bf16; retrying in float32")
             self.compute_dtype = None
+            transport = "f32"  # rescue is exact end to end, TTA included
             apply_fn = self._model_apply()
             stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
                           progress_cb=progress_cb, affine=affine)

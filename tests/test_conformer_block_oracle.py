@@ -42,7 +42,7 @@ def _torch_attn(p, x, heads):
     scale = dh ** -0.5
     maxp = C._MAX_POS_EMB
     seq = torch.arange(n)
-    dist = (seq[None, :] - seq[:, None]).clamp(-maxp, maxp) + maxp
+    dist = (seq[:, None] - seq[None, :]).clamp(-maxp, maxp) + maxp  # i - j (lucidrains)
     rel = _t(p["rel_pos_emb"])[dist]
     sim = (torch.einsum("bhid,bhjd->bhij", q, k)
            + torch.einsum("bhnd,nrd->bhnr", q, rel)) * scale

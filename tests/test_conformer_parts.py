@@ -54,7 +54,7 @@ def test_attention_with_shaw_rel_pos_matches_torch():
     scale = dh ** -0.5
     maxp = C._MAX_POS_EMB
     seq = torch.arange(n)
-    dist = (seq[None, :] - seq[:, None]).clamp(-maxp, maxp) + maxp
+    dist = (seq[:, None] - seq[None, :]).clamp(-maxp, maxp) + maxp  # i - j (lucidrains)
     rel = _t(p["rel_pos_emb"])[dist]  # (n, n, dh)
     pos = torch.einsum("bhnd,nrd->bhnr", q, rel) * scale
     sim = torch.einsum("bhid,bhjd->bhij", q, k) * scale + pos

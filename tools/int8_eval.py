@@ -64,17 +64,19 @@ def main():
         return 2
 
     from sesa_tpu.models import bs_roformer
-    from sesa_tpu.runtime import DemixSpec, demix
+    from sesa_tpu.runtime import demix
 
+    import bench
+
+    # the bench's exact flagship shape (single source of truth); only the
+    # compute dtype / int8 flag vary per run below
+    _, params, spec = bench._flagship_setup()
     config = ConfigDict({"model": dict(
         dim=512, depth=12, stereo=True, num_stems=1,
         time_transformer_depth=1, freq_transformer_depth=1,
         dim_head=64, heads=8, stft_n_fft=2048, stft_hop_length=512,
         stft_win_length=2048, mask_estimator_depth=2,
     )})
-    params = bs_roformer.init(jax.random.PRNGKey(0), config)
-    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
-                     num_stems=1)
     mix = make_song()
 
     def run_variant(name, dtype, int8):

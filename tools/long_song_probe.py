@@ -38,28 +38,13 @@ def main():
         print("needs the real TPU chip", file=sys.stderr)
         return 2
 
-    from sesa_tpu.models import bs_roformer
-    from sesa_tpu.runtime import DemixSpec, demix
+    from sesa_tpu.runtime import demix
 
-    config = ConfigDict({"model": dict(
-        dim=512, depth=12, stereo=True, num_stems=1,
-        time_transformer_depth=1, freq_transformer_depth=1,
-        dim_head=64, heads=8, stft_n_fft=2048, stft_hop_length=512,
-        stft_win_length=2048, mask_estimator_depth=2,
-    )})
-    params = bs_roformer.init(jax.random.PRNGKey(0), config)
+    import bench
 
-    def apply_fn(p, chunks):
-        return bs_roformer.apply(p, config, chunks, compute_dtype=jnp.bfloat16)
-
-    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
-                     num_stems=1)
-    rng = np.random.default_rng(0)
-    t = np.arange(SECONDS * SR) / SR
-    song = (0.3 * np.sin(2 * np.pi * 220 * t)
-            + 0.1 * rng.standard_normal(SECONDS * SR)).astype(np.float32)
-    mix = np.clip(np.round(np.stack([song, 0.9 * song]) * 32768),
-                  -32768, 32767).astype(np.float32) / 32768
+    # the bench's exact flagship model/shape (single source of truth)
+    apply_fn, params, spec = bench._flagship_setup()
+    mix = bench.make_song(seconds=SECONDS)
 
     t0 = time.time()
     out = demix(apply_fn, params, mix, spec, seg_batches=1, transport="int16")
