@@ -8,11 +8,13 @@ segmentation network from `segmentation_models_pytorch` / `torchseg` with
 an imagenet-pretrained encoder (e.g. the VitLarge23 vocal checkpoint uses
 a timm MaxViT encoder).
 
-Those encoder zoos cannot be reproduced offline, so this module provides
-the shell with a self-contained symmetric conv U-Net: new models can be
-initialized/trained/ran, but converting community checkpoints that embed
-smp/torchseg/timm encoders is explicitly unsupported (convert_torch raises
-with that explanation).
+The MaxViT encoder family (the one the curated registry actually needs:
+VOCALS-VitLarge23 uses ``tu-maxvit_large_tf_512``) is implemented natively
+in sesa_tpu/models/maxvit_unet.py with full checkpoint conversion. Configs
+naming other encoder zoos (efficientnet/resnext/...) fall back to the shell
+with a self-contained symmetric conv U-Net: new models can be
+initialized/trained/ran, but converting those community checkpoints raises
+a typed error naming the unsupported encoder.
 """
 
 from __future__ import annotations
@@ -21,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from sesa_tpu.models import layers as L
+from sesa_tpu.models import maxvit_unet
 from sesa_tpu.models.mdx23c import (
     _cac2cws,
     _cws2cac,
@@ -43,6 +46,19 @@ def init(rng, config):
     k, dim_c, c = _dims(config)
     s = num_target_instruments(config)
     keys = iter(jax.random.split(rng, 64))
+
+    if maxvit_unet.is_maxvit(config):
+        _require_unet_decoder(config)
+        r1, r2 = jax.random.split(rng)
+        kk = iter(jax.random.split(r2, 8))
+
+        def cw(ci, co):
+            return L.kaiming_uniform(next(kk), (co, ci, 1, 1), ci)
+
+        return {"first_conv": cw(dim_c, c),
+                "unet": maxvit_unet.init(r1, c, maxvit_unet.spec_from_config(config)),
+                "final_conv1": cw(c + dim_c, c),
+                "final_conv2": cw(c, s * dim_c)}
 
     def conv_w(ci, co, kh, kw):
         return L.kaiming_uniform(next(keys), (co, ci, kh, kw), ci * kh * kw)
@@ -75,6 +91,14 @@ def init(rng, config):
     return params
 
 
+def _require_unet_decoder(config):
+    dec = config.model.get("decoder_type", "unet")
+    if dec != "unet":
+        raise NotImplementedError(
+            f"maxvit encoders are implemented for decoder_type 'unet' "
+            f"(smp.Unet, the layout VitLarge23 uses); got {dec!r}")
+
+
 def _block_apply(p, x, act):
     x = L.conv2d(x, p["conv1"], padding=(1, 1))
     x = act(L.instance_norm2d(x, p["norm1"]))
@@ -96,22 +120,33 @@ def _unet_apply(params, x, act):
     return x
 
 
+def image_path(params, config, mix):
+    """The spectral-image path (everything between STFT and iSTFT):
+    (B, dim_c, f//k, t) -> (B, S*dim_c, f//k, t). Mirrors reference
+    Segm_Models_Net.forward minus the STFT pair."""
+    act = L.make_act(config.model.act)
+    first_out = xx = L.conv2d(mix, params["first_conv"])
+    xx = jnp.swapaxes(xx, -1, -2)
+    if "unet" in params:
+        xx = maxvit_unet.apply(params["unet"], xx,
+                               maxvit_unet.spec_from_config(config))
+    else:
+        xx = _unet_apply(params, xx, act)
+    xx = jnp.swapaxes(xx, -1, -2)
+    xx = xx * first_out
+    xx = L.conv2d(jnp.concatenate([mix, xx], axis=1), params["final_conv1"])
+    return L.conv2d(act(xx), params["final_conv2"])
+
+
 def apply(params, config, x):
     """(B, ch, T) -> (B, S, ch, T) (shell identical to mdx23c's)."""
     k, dim_c, c = _dims(config)
-    act = L.make_act(config.model.act)
     s_stems = num_target_instruments(config)
     length = x.shape[-1]
 
     spec = spectrogram(x, config)
-    mix = xx = _cac2cws(spec, k)
-    first_out = xx = L.conv2d(xx, params["first_conv"])
-    xx = jnp.swapaxes(xx, -1, -2)
-    xx = _unet_apply(params, xx, act)
-    xx = jnp.swapaxes(xx, -1, -2)
-    xx = xx * first_out
-    xx = L.conv2d(jnp.concatenate([mix, xx], axis=1), params["final_conv1"])
-    xx = L.conv2d(act(xx), params["final_conv2"])
+    mix = _cac2cws(spec, k)
+    xx = image_path(params, config, mix)
     xx = _cws2cac(xx, k)
     b = xx.shape[0]
     xx = xx.reshape(b, s_stems, dim_c // k, xx.shape[-2], xx.shape[-1])
@@ -122,10 +157,50 @@ def apply(params, config, x):
 
 
 def convert_torch(state_dict, config):
-    raise NotImplementedError(
-        "segm_models/torchseg checkpoints embed imagenet-pretrained encoders "
-        "from segmentation_models_pytorch / torchseg / timm (e.g. MaxViT for "
-        "VOCALS-VitLarge23), which cannot be reproduced in this TPU build. "
-        "Use the roformer/mdx23c/scnet families, or initialize this "
-        "architecture fresh with init()."
-    )
+    """Convert a reference Segm_Models_Net / Torchseg_Net state dict.
+
+    Shell keys (reference segm_models.py:190-255): ``first_conv.weight``,
+    ``unet_model.*`` (the smp/torchseg model), ``final_conv.0.weight``,
+    ``final_conv.2.weight``. MaxViT-Unet checkpoints (VitLarge23) convert
+    fully; other encoder zoos raise typed."""
+    if not maxvit_unet.is_maxvit(config):
+        raise NotImplementedError(
+            "segm_models/torchseg checkpoint conversion is implemented for "
+            "MaxViT-Unet encoders (the layout the curated registry needs, "
+            f"e.g. VOCALS-VitLarge23); this config names encoder "
+            f"{str(config.model.get('encoder_name', '?'))!r}, whose imagenet "
+            "zoo (segmentation_models_pytorch / torchseg / timm) is not "
+            "reproduced in this TPU build. Use the roformer/mdx23c/scnet "
+            "families, or initialize this architecture fresh with init()."
+        )
+    _require_unet_decoder(config)
+    import numpy as np
+
+    sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    spec = maxvit_unet.spec_from_config(config)
+    # torchseg wraps the timm model directly as `encoder`; smp's
+    # TimmUniversalEncoder nests it as `encoder.model`.
+    prefix = "unet_model."
+    if f"{prefix}encoder.model.stem.conv1.weight" not in sd and \
+            f"{prefix}encoder.stem.conv1.weight" in sd:
+        sd = {k.replace("unet_model.encoder.", "unet_model.encoder.model."): v
+              for k, v in sd.items()}
+
+    params = {"first_conv": take("first_conv.weight"),
+              "unet": maxvit_unet.convert(sd, take, prefix, spec),
+              "final_conv1": take("final_conv.0.weight"),
+              "final_conv2": take("final_conv.2.weight")}
+    unused = set(sd) - used
+    if unused:
+        raise ValueError(
+            f"unconsumed segm_models checkpoint keys: {sorted(unused)[:10]} "
+            f"(+{max(0, len(unused) - 10)} more) — the checkpoint layout "
+            "differs from the reconstructed timm/smp layout; refusing to "
+            "load it partially.")
+    return params

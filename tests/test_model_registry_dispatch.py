@@ -79,5 +79,5 @@ def test_segm_forward_and_unsupported_convert():
     x = np.random.default_rng(0).standard_normal((1, 2, 8064)).astype(np.float32) * 0.1
     out = segm_models.apply(params, config, jnp.asarray(x))
     assert out.shape == (1, 2, 2, 8064)
-    with pytest.raises(NotImplementedError, match="imagenet-pretrained"):
+    with pytest.raises(NotImplementedError, match="imagenet"):
         segm_models.convert_torch({}, config)
