@@ -40,12 +40,16 @@ def _kwargs(config):
     variant = cfg.get("model", "htdemucs")
     if variant != "htdemucs":
         # reference get_model dispatches demucs/hdemucs/htdemucs
-        # (demucs4ht.py:696-713); the legacy conv-only variants have no
-        # surviving registry checkpoints and are rejected with a typed error
+        # (demucs4ht.py:696-713); 'demucs' routes to the native legacy port
+        # (models/demucs_legacy.py) before reaching here; 'hdemucs' (the v3
+        # hybrid without transformer) has no registry checkpoints and is
+        # rejected with a typed error
         raise NotImplementedError(
-            f"model variant {variant!r} is not implemented: only 'htdemucs' "
-            "is supported (the legacy 'demucs'/'hdemucs' architectures have "
-            "no registry checkpoints)")
+            f"model variant {variant!r} is not implemented: 'htdemucs' and "
+            "the legacy time-domain 'demucs' are supported; 'hdemucs' (the "
+            "v3 hybrid) has no registry checkpoints — use an htdemucs or "
+            "demucs config, or open the checkpoint with the original "
+            "PyTorch stack")
     kw = dict(
         channels=48, growth=2, nfft=4096, wiener_iters=0, wiener_residual=False,
         cac=True, depth=4,
@@ -115,7 +119,15 @@ def _norm_p(c):
     return {"weight": jnp.ones((c,)), "bias": jnp.zeros((c,))}
 
 
+def _variant(config):
+    cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+    return cfg.get("model", "htdemucs")
+
+
 def init(rng, config):
+    if _variant(config) == "demucs":
+        from sesa_tpu.models import demucs_legacy
+        return demucs_legacy.init(rng, config)
     kw = _kwargs(config)
     plan = _layer_plan(kw)
     keys = iter(jax.random.split(rng, 4096))
@@ -576,9 +588,16 @@ def _t_cross_layer(p, q, kv, heads, precision):
 def apply(params, config, mix, precision=None, compute_dtype=None):
     """(B, ch, T) -> (B, sources, ch, T).
 
+    ``model: demucs`` configs route to the legacy time-domain port
+    (models/demucs_legacy.py; reference demucs4ht.py:696-713 dispatch).
+
     ``compute_dtype``: run the encoder/transformer/decoder net in this
     dtype (bf16 on TPU); STFT/iSTFT, mix statistics, and the Wiener/CaC
     output assembly stay float32."""
+    if _variant(config) == "demucs":
+        from sesa_tpu.models import demucs_legacy
+        return demucs_legacy.apply(params, config, mix, precision=precision,
+                                   compute_dtype=compute_dtype)
     precision = precision or _HIGHEST
     kw = _kwargs(config)
     plan = _layer_plan(kw)
@@ -798,6 +817,9 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
 # --------------------------------------------------------------------------
 
 def convert_torch(state_dict, config):
+    if _variant(config) == "demucs":
+        from sesa_tpu.models import demucs_legacy
+        return demucs_legacy.convert_torch(state_dict, config)
     kw = _kwargs(config)
     plan = _layer_plan(kw)
     sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
