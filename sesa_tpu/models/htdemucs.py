@@ -38,29 +38,47 @@ def _kwargs(config):
     """HTDemucs(**extra, **config.htdemucs) (reference demucs4ht.py:696-713)."""
     cfg = config.to_dict() if hasattr(config, "to_dict") else dict(config)
     variant = cfg.get("model", "htdemucs")
-    if variant != "htdemucs":
+    if variant not in ("htdemucs", "hdemucs"):
         # reference get_model dispatches demucs/hdemucs/htdemucs
         # (demucs4ht.py:696-713); 'demucs' routes to the native legacy port
-        # (models/demucs_legacy.py) before reaching here; 'hdemucs' (the v3
-        # hybrid without transformer) has no registry checkpoints and is
-        # rejected with a typed error
+        # (models/demucs_legacy.py) before reaching here
         raise NotImplementedError(
-            f"model variant {variant!r} is not implemented: 'htdemucs' and "
-            "the legacy time-domain 'demucs' are supported; 'hdemucs' (the "
-            "v3 hybrid) has no registry checkpoints — use an htdemucs or "
-            "demucs config, or open the checkpoint with the original "
-            "PyTorch stack")
-    kw = dict(
-        channels=48, growth=2, nfft=4096, wiener_iters=0, wiener_residual=False,
-        cac=True, depth=4,
-        rewrite=True, multi_freqs=None, multi_freqs_depth=3, freq_emb=0.2,
-        emb_scale=10, emb_smooth=True, kernel_size=8, time_stride=2, stride=4,
-        context=1, context_enc=0, norm_starts=4, norm_groups=4, dconv_mode=1,
-        dconv_depth=2, dconv_comp=8, dconv_init=1e-3, bottom_channels=0,
-        t_layers=5, t_hidden_scale=4.0, t_heads=8, t_max_period=10000.0,
-        t_weight_pos_embed=1.0, t_cross_first=False, num_subbands=1,
-    )
-    kw.update({k: v for k, v in (cfg.get("htdemucs", {}) or {}).items() if k in kw})
+            f"model variant {variant!r} is not implemented: 'htdemucs', "
+            "'hdemucs' and the legacy time-domain 'demucs' are supported")
+    if variant == "hdemucs":
+        # demucs-package HDemucs signature defaults (the v3 hybrid: depth-6
+        # U-Net, no transformer, DConv attn/lstm inserts at layers >= 4)
+        kw = dict(
+            channels=48, growth=2, nfft=4096, wiener_iters=0,
+            wiener_residual=False, cac=True, depth=6,
+            rewrite=True, multi_freqs=None, multi_freqs_depth=2, freq_emb=0.2,
+            emb_scale=10, emb_smooth=True, kernel_size=8, time_stride=2,
+            stride=4, context=1, context_enc=0, norm_starts=4, norm_groups=4,
+            dconv_mode=1, dconv_depth=2, dconv_comp=4, dconv_attn=4,
+            dconv_lstm=4, dconv_init=1e-4,
+            # fixed for this variant (no transformer / subbands)
+            bottom_channels=0, t_layers=0, t_hidden_scale=4.0, t_heads=8,
+            t_max_period=10000.0, t_weight_pos_embed=1.0, t_cross_first=False,
+            num_subbands=1,
+        )
+        sec = cfg.get("hdemucs", {}) or {}
+    else:
+        kw = dict(
+            channels=48, growth=2, nfft=4096, wiener_iters=0, wiener_residual=False,
+            cac=True, depth=4,
+            rewrite=True, multi_freqs=None, multi_freqs_depth=3, freq_emb=0.2,
+            emb_scale=10, emb_smooth=True, kernel_size=8, time_stride=2, stride=4,
+            context=1, context_enc=0, norm_starts=4, norm_groups=4, dconv_mode=1,
+            dconv_depth=2, dconv_comp=8, dconv_init=1e-3, bottom_channels=0,
+            t_layers=5, t_hidden_scale=4.0, t_heads=8, t_max_period=10000.0,
+            t_weight_pos_embed=1.0, t_cross_first=False, num_subbands=1,
+            # the reference HTDemucs class exposes no DConv attn/lstm knobs
+            # (demucs4ht.py:118-122) — keep them unreachable for this variant
+            dconv_attn=10 ** 9, dconv_lstm=10 ** 9,
+        )
+        sec = cfg.get("htdemucs", {}) or {}
+    kw["variant"] = variant
+    kw.update({k: v for k, v in sec.items() if k in kw and k != "variant"})
     training = cfg.get("training", {}) or {}
     kw["sources"] = list(training.get("instruments", ["drums", "bass", "other", "vocals"]))
     kw["audio_channels"] = int(training.get("channels", 2))
@@ -83,6 +101,9 @@ def _layer_plan(kw):
         norm = index >= kw["norm_starts"]
         freq = freqs > 1
         ker, stri, pad = kw["kernel_size"], kw["stride"], True
+        if not freq:
+            # post-collapse time layers (hdemucs depth 6; ref hdemucs.py)
+            ker, stri = kw["time_stride"] * 2, kw["time_stride"]
         last_freq = False
         if freq and freqs <= kw["kernel_size"]:
             ker, pad, last_freq = freqs, False, True
@@ -96,7 +117,9 @@ def _layer_plan(kw):
         plan.append(dict(index=index, norm=norm, freq=freq, ker=ker, stride=stri,
                          pad=pad, last_freq=last_freq, chin=chin, chin_z=chin_z,
                          chout=chout, chout_z=chout_z, freqs=freqs,
-                         multi=multi, context_freq=not multi))
+                         multi=multi, context_freq=not multi,
+                         attn=index >= kw["dconv_attn"],
+                         lstm=index >= kw["dconv_lstm"]))
         if index == 0:
             chin = kw["audio_channels"] * len(kw["sources"])
             chin_z = chin * cac_f * subs  # ref :330-333
@@ -144,20 +167,41 @@ def init(rng, config):
                                             ci * int(np.prod(khw))),
                 "bias": jnp.zeros((co,))}
 
-    def dconv(ch):
+    def lstm_p(ci, h):
+        def side():
+            return {"weight_ih": L.kaiming_uniform(next(keys), (4 * h, ci), ci),
+                    "weight_hh": L.kaiming_uniform(next(keys), (4 * h, h), h),
+                    "bias_ih": jnp.zeros((4 * h,)),
+                    "bias_hh": jnp.zeros((4 * h,))}
+        return {"fwd": side(), "bwd": side()}
+
+    def dconv(ch, attn=False, lstm=False):
         hidden = max(1, ch // kw["dconv_comp"])
         blocks = []
         for d in range(kw["dconv_depth"]):
-            blocks.append({
+            blk = {
                 "conv1": conv(ch, hidden, (3,)),
                 "norm1": _norm_p(hidden),
                 "conv2": conv(hidden, 2 * ch, (1,)),
                 "norm2": _norm_p(2 * ch),
                 "scale": jnp.full((ch,), kw["dconv_init"]),
-            })
+            }
+            if lstm:
+                blk["lstm"] = {
+                    "layers": [lstm_p(hidden if i == 0 else 2 * hidden, hidden)
+                               for i in range(2)],
+                    "linear": {"weight": L.kaiming_uniform(
+                        next(keys), (hidden, 2 * hidden), 2 * hidden),
+                        "bias": jnp.zeros((hidden,))}}
+            if attn:
+                blk["attn"] = {name: conv(hidden, co_a, (1,)) for name, co_a in
+                               (("content", hidden), ("query", hidden),
+                                ("key", hidden), ("query_decay", 16),
+                                ("proj", hidden))}
+            blocks.append(blk)
         return blocks
 
-    def enc_layer(ci, co, ker, freq, norm, empty=False):
+    def enc_layer(ci, co, ker, freq, norm, empty=False, attn=False, lstm=False):
         kshape = (ker, 1) if freq else (ker,)
         p = {"conv": conv(ci, co, kshape)}
         if empty:
@@ -173,10 +217,11 @@ def init(rng, config):
             if norm:
                 p["norm2"] = _norm_p(2 * co)
         if kw["dconv_mode"] & 1:
-            p["dconv"] = dconv(co)
+            p["dconv"] = dconv(co, attn, lstm)
         return p
 
-    def dec_layer(ci, co, ker, freq, norm, empty=False, context_freq=True):
+    def dec_layer(ci, co, ker, freq, norm, empty=False, context_freq=True,
+                  attn=False, lstm=False):
         kshape = (ker, 1) if freq else (ker,)
         p = {"conv_tr": convtr(ci, co, kshape)}
         if norm:
@@ -195,42 +240,48 @@ def init(rng, config):
             if norm:
                 p["norm1"] = _norm_p(2 * ci)
         if kw["dconv_mode"] & 2:
-            p["dconv"] = dconv(ci)
+            p["dconv"] = dconv(ci, attn, lstm)
         return p
 
     n_bands = len(kw["multi_freqs"] or []) + 1
     params = {"encoder": [], "tencoder": [], "decoder": [], "tdecoder": []}
     for lp in plan:
-        e = enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"], True, lp["norm"])
+        al = dict(attn=lp["attn"], lstm=lp["lstm"])
+        e = enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"], lp["freq"],
+                      lp["norm"], **al)
         if lp["multi"]:
             # MultiWrap: n_bands independent replicas of the layer
             e = {"layers": [
                 enc_layer(lp["chin_z"], lp["chout_z"], lp["ker"], True,
-                          lp["norm"]) for _ in range(n_bands)]}
+                          lp["norm"], **al) for _ in range(n_bands)]}
         params["encoder"].append(e)
         if lp["freq"]:
             params["tencoder"].append(enc_layer(lp["chin"], lp["chout"],
                                                 kw["kernel_size"], False,
-                                                lp["norm"], empty=lp["last_freq"]))
-        d = dec_layer(lp["chout_z"], lp["dec_chin_z"], lp["ker"], True,
-                      lp["norm"], context_freq=lp["context_freq"])
+                                                lp["norm"], empty=lp["last_freq"],
+                                                **al))
+        d = dec_layer(lp["chout_z"], lp["dec_chin_z"], lp["ker"], lp["freq"],
+                      lp["norm"], context_freq=lp["context_freq"], **al)
         if lp["multi"]:
             d = {"layers": [
                 dec_layer(lp["chout_z"], lp["dec_chin_z"], lp["ker"], True,
-                          lp["norm"], context_freq=False)
+                          lp["norm"], context_freq=False, **al)
                 for _ in range(n_bands)]}
         params["decoder"].insert(0, d)
         if lp["freq"]:
             params["tdecoder"].insert(0, dec_layer(lp["chout"], lp["dec_chin"],
                                                    kw["kernel_size"], False,
-                                                   lp["norm"], empty=lp["last_freq"]))
+                                                   lp["norm"], empty=lp["last_freq"],
+                                                   **al))
 
     # frequency embedding after encoder layer 0
     freqs_after0 = plan[0]["freqs"] // kw["stride"]
     emb = jax.random.normal(next(keys), (freqs_after0, plan[1]["chin_z"]))
     params["freq_emb"] = emb / kw["emb_scale"]
 
-    # cross transformer
+    # cross transformer (absent for the hdemucs variant: t_layers == 0)
+    if not kw["t_layers"]:
+        return params
     dim = kw["channels"] * kw["growth"] ** (kw["depth"] - 1)
     tr_ch = dim
     if kw["bottom_channels"]:
@@ -298,7 +349,8 @@ def _maybe_norm(x, p, key, groups):
 
 
 def _dconv_apply(blocks, x, precision):
-    """(B, C, T) residual DConv branch (demucs-v4 DConv)."""
+    """(B, C, T) residual DConv branch (demucs-v4 DConv), incl. the
+    skip-BLSTM and LocalState inserts of the deep hdemucs layers."""
     for d, b in enumerate(blocks):
         dilation = 2 ** d
         k = b["conv1"]["weight"].shape[-1]
@@ -309,6 +361,13 @@ def _dconv_apply(blocks, x, precision):
             precision=precision) + b["conv1"]["bias"][None, :, None]
         y = _gn(y, b["norm1"], 1)
         y = jax.nn.gelu(y, approximate=False)
+        if "lstm" in b or "attn" in b:
+            from sesa_tpu.models import demucs_legacy
+            if "lstm" in b:
+                y = demucs_legacy._blstm(b["lstm"], y, max_steps=200,
+                                         skip=True, precision=precision)
+            if "attn" in b:
+                y = demucs_legacy._local_state(b["attn"], y, precision=precision)
         y = L.conv1d(y, b["conv2"]["weight"], b["conv2"]["bias"], precision=precision)
         y = _gn(y, b["norm2"], 1)
         a, g = jnp.split(y, 2, axis=1)
@@ -666,7 +725,7 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
             x = _henc_multi(ep, x, kw, lp["ker"], lp["stride"], lp["norm"],
                             precision=precision)
         else:
-            x = _henc_apply(ep, x, kw, True, lp["ker"],
+            x = _henc_apply(ep, x, kw, lp["freq"], lp["ker"],
                             lp["stride"], lp["pad"], lp["norm"], inject=inject,
                             precision=precision)
         if idx == 0:
@@ -679,7 +738,16 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
             x = x + kw["freq_emb"] * jnp.transpose(emb, (1, 0))[None, :, :, None]
         saved.append(x)
 
-    # ---- cross transformer ----
+    # ---- bottleneck: cross transformer (htdemucs) or zeros (hdemucs) ----
+    if kw["variant"] == "hdemucs":
+        # hdemucs has no bottleneck net: the decoder starts from zero and
+        # the signal flows through the U-Net skips (demucs/hdemucs.py
+        # forward, "initialize everything to zero"); xt is rebuilt from
+        # `pre` at the branch-split layer before it is ever read
+        x = jnp.zeros_like(x)
+        return _decode_and_assemble(
+            params, kw, plan, x, xt, saved, saved_t, lengths, lengths_t,
+            z_mix, mean, std, meant, stdt, length, le, subs, precision)
     ct = params["crosstransformer"]
     if kw["bottom_channels"]:
         # 1x1 channel upsamplers ahead of the transformer
@@ -729,7 +797,21 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
                       params["channel_downsampler_t"]["bias"],
                       precision=precision)
 
-    # ---- decoders ----
+    return _decode_and_assemble(
+        params, kw, plan, x, xt, saved, saved_t, lengths, lengths_t,
+        z_mix, mean, std, meant, stdt, length, le, subs, precision)
+
+
+def _decode_and_assemble(params, kw, plan, x, xt, saved, saved_t, lengths,
+                         lengths_t, z_mix, mean, std, meant, stdt, length, le,
+                         subs, precision):
+    """Shared decoder sweep + spectral output assembly (both variants)."""
+    b, ch = z_mix.shape[:2]
+    nfft = 2 * z_mix.shape[2]
+    hl = nfft // 4
+    pad = hl // 2 * 3
+    window = hann_window(nfft, dtype=jnp.float32)
+
     s_src = len(kw["sources"])
     for idx, lp in enumerate(reversed(plan)):
         skip = saved.pop(-1)
@@ -741,7 +823,8 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
                                  precision=precision)
         else:
             x, pre = _hdec_apply(dp, x, skip, lengths.pop(-1),
-                                 kw, True, lp["ker"], lp["stride"], lp["pad"],
+                                 kw, lp["freq"], lp["ker"], lp["stride"],
+                                 lp["pad"],
                                  chin=lp["chout_z"], last=lp["index"] == 0,
                                  precision=precision)
         offset = kw["depth"] - len(params["tdecoder"])
@@ -835,17 +918,39 @@ def convert_torch(state_dict, config):
             p["bias"] = take(f"{prefix}.bias")
         return p
 
+    def lstm_params(pfx, layers=2):
+        out = {"layers": []}
+        for li in range(layers):
+            def side(suffix):
+                return {"weight_ih": take(f"{pfx}.lstm.weight_ih_l{li}{suffix}"),
+                        "weight_hh": take(f"{pfx}.lstm.weight_hh_l{li}{suffix}"),
+                        "bias_ih": take(f"{pfx}.lstm.bias_ih_l{li}{suffix}"),
+                        "bias_hh": take(f"{pfx}.lstm.bias_hh_l{li}{suffix}")}
+            out["layers"].append({"fwd": side(""), "bwd": side("_reverse")})
+        out["linear"] = wb(pfx + ".linear")
+        return out
+
     def dconv(prefix):
         blocks = []
         d = 0
         while f"{prefix}.layers.{d}.0.weight" in sd:
-            blocks.append({
-                "conv1": wb(f"{prefix}.layers.{d}.0"),
-                "norm1": wb(f"{prefix}.layers.{d}.1"),
-                "conv2": wb(f"{prefix}.layers.{d}.3"),
-                "norm2": wb(f"{prefix}.layers.{d}.4"),
-                "scale": take(f"{prefix}.layers.{d}.6.scale"),
-            })
+            p = f"{prefix}.layers.{d}"
+            blk = {"conv1": wb(f"{p}.0"), "norm1": wb(f"{p}.1")}
+            # deep hdemucs layers insert BLSTM then LocalState at index 3
+            # (demucs/demucs.py DConv; lstm insert lands before attn)
+            j = 3
+            if f"{p}.{j}.lstm.weight_ih_l0" in sd:
+                blk["lstm"] = lstm_params(f"{p}.{j}")
+                j += 1
+            if f"{p}.{j}.content.weight" in sd:
+                blk["attn"] = {name: wb(f"{p}.{j}.{name}") for name in
+                               ("content", "query", "key", "query_decay",
+                                "proj")}
+                j += 1
+            blk["conv2"] = wb(f"{p}.{j}")
+            blk["norm2"] = wb(f"{p}.{j + 1}")
+            blk["scale"] = take(f"{p}.{j + 3}.scale")
+            blocks.append(blk)
             d += 1
         return blocks
 
@@ -904,6 +1009,12 @@ def convert_torch(state_dict, config):
                                       empty=lp["last_freq"]))
 
     params["freq_emb"] = take("freq_emb.embedding.weight")
+
+    if not kw["t_layers"]:  # hdemucs: no transformer keys
+        unused = set(sd) - used
+        if unused:
+            raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:10]} ...")
+        return params
 
     ct = {"norm_in": wb("crosstransformer.norm_in"),
           "norm_in_t": wb("crosstransformer.norm_in_t"),

@@ -91,10 +91,10 @@ def test_htdemucs_module_dispatch():
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
-def test_hdemucs_still_typed():
+def test_unknown_variant_still_typed():
     config = tiny_config()
-    config.model = "hdemucs"
-    with pytest.raises(NotImplementedError, match="hdemucs"):
+    config.model = "tasnet"
+    with pytest.raises(NotImplementedError, match="tasnet"):
         htdemucs.convert_torch({}, config)
 
 

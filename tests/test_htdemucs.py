@@ -88,9 +88,10 @@ def test_subband_fold_matches_reference_formula():
 def test_typed_rejections():
     import pytest
 
+    # demucs/hdemucs are now implemented; anything else stays typed
     config = tiny_config()
-    config.model = "hdemucs"
-    with pytest.raises(NotImplementedError, match="hdemucs"):
+    config.model = "tasnet"
+    with pytest.raises(NotImplementedError, match="tasnet"):
         htdemucs._kwargs(config)
 
 
