@@ -196,3 +196,43 @@ def test_bs_mamba2_matches_reference_module(ref):
 
     x = np.random.default_rng(4).standard_normal((1, 2, 8192)).astype(np.float32) * 0.1
     _forward_both(model, bs_mamba2.apply, params, config, x, atol=5e-4)
+
+
+# ------------------------------------------------------- SDR delta target
+
+def test_sdr_delta_vs_reference_below_target(ref):
+    """BASELINE.json north star: SDR within 0.05 dB of the PyTorch
+    reference. Real community checkpoints are not downloadable here, so the
+    evidence is constructed end to end on an exported-state-dict model: the
+    reference's own TFC_TDF_net and the converted JAX model separate the
+    same synthetic two-source song, both estimates are scored with the
+    framework's SDR metric against the synthetic truth, and the SDR delta
+    between the two pipelines must sit far inside the 0.05 dB budget."""
+    from sesa_tpu.metrics import signal_distortion_ratio
+    from sesa_tpu.models import mdx23c
+    from tests.test_mdx23c import tiny_config
+
+    config = tiny_config(target="vocals")
+    torch.manual_seed(11)
+    model = ref.mdx23c.TFC_TDF_net(config)
+    model.eval()
+    params = mdx23c.convert_torch(_to_jax_sd(model.state_dict()), config)
+
+    sr = 44100
+    t = np.arange(8064) / sr
+    truth = np.stack([np.sin(2 * np.pi * 330 * t),
+                      np.sin(2 * np.pi * 220 * t)]).astype(np.float32) * 0.4
+    noise = np.random.default_rng(3).standard_normal(truth.shape) * 0.1
+    mix = (truth + noise.astype(np.float32))[None]
+
+    with torch.no_grad():
+        est_ref = model(torch.from_numpy(mix)).numpy()[0]
+    est_jax = np.asarray(mdx23c.apply(params, config, jnp.asarray(mix)))[0]
+
+    sdr_ref = float(np.mean(signal_distortion_ratio(est_ref, truth)))
+    sdr_jax = float(np.mean(signal_distortion_ratio(est_jax, truth)))
+    delta = abs(sdr_ref - sdr_jax)
+    assert np.isfinite(sdr_ref) and np.isfinite(sdr_jax)
+    assert delta < 0.05, (sdr_ref, sdr_jax)
+    # the measured delta is orders of magnitude inside the budget
+    assert delta < 0.005, (sdr_ref, sdr_jax, delta)
