@@ -360,6 +360,31 @@ CONFIGS = {
 }
 
 
+def _probe_devices(timeout_s=600.0):
+    """Bounded TPU-backend probe: the device relay has multi-hour outages
+    during which first device use HANGS for ~25 min before raising.
+    Returns (ok, error_str); run in a daemon thread so a hung init cannot
+    stall the whole bench past `timeout_s`."""
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # backend init raised (e.g. relay UNAVAILABLE)
+            result["error"] = repr(e)[:300]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in result:
+        return True, None
+    return False, result.get(
+        "error", f"device init did not return within {timeout_s:.0f}s "
+                 "(TPU relay down?)")
+
+
 def main():
     """Flagship RUNS first (so a compile blow-up in a secondary config can
     never lose the headline number) but PRINTS last — the driver parses
@@ -369,6 +394,16 @@ def main():
     only = [s for s in os.environ.get("SESA_BENCH_ONLY", "").split(",") if s]
     budget = float(os.environ.get("SESA_BENCH_BUDGET_S", "2700"))
     t_start = time.time()
+
+    ok, err = _probe_devices(float(os.environ.get("SESA_BENCH_PROBE_S", "600")))
+    if not ok:
+        # one explainable line instead of five ~25-min hangs
+        print(json.dumps({"metric": "bs_roformer_vocals_rtf", "value": 0,
+                          "unit": "audio_sec_per_sec_per_chip",
+                          "vs_baseline": 0,
+                          "detail": {"error": f"tpu_unavailable: {err}"}}),
+              flush=True)
+        return 0
 
     flagship_line = None
     if not only or "flagship" in only:
