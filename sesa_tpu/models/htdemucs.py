@@ -78,7 +78,11 @@ def _kwargs(config):
         )
         sec = cfg.get("htdemucs", {}) or {}
     kw["variant"] = variant
-    kw.update({k: v for k, v in sec.items() if k in kw and k != "variant"})
+    # dconv_attn/dconv_lstm are hdemucs-only knobs: the reference HTDemucs
+    # class has no such kwargs, so an htdemucs config cannot set them
+    frozen = {"variant"} if variant == "hdemucs" else {
+        "variant", "dconv_attn", "dconv_lstm"}
+    kw.update({k: v for k, v in sec.items() if k in kw and k not in frozen})
     training = cfg.get("training", {}) or {}
     kw["sources"] = list(training.get("instruments", ["drums", "bass", "other", "vocals"]))
     kw["audio_channels"] = int(training.get("channels", 2))
@@ -460,7 +464,9 @@ def _hdec_apply(p, x, skip, length, kw, freq, ker, stride, pad, chin,
         y = x
         assert skip is None
 
-    padding = (ker - stride) // 2 if pad else 0
+    # HDecLayer crops kernel_size//4 (same as HEncLayer's pad), NOT
+    # (ker-stride)//2 — they only coincide when ker == 2*stride
+    padding = ker // 4 if pad else 0
     if freq:
         z = L.conv_transpose2d(y, p["conv_tr"]["weight"], p["conv_tr"]["bias"],
                                stride=(stride, 1), precision=precision)

@@ -63,10 +63,19 @@ def spec_from_config(config):
             img = int(m.group(1)) if m else 224
             spec = {"dims": dims, "depths": depths, "stem_width": stem,
                     "dim_head": 32, "partition": img // 32}
-    if spec is None:
-        spec = {"dims": (64, 128, 256, 512), "depths": (2, 2, 5, 2),
-                "stem_width": 64, "dim_head": 32, "partition": 7}
     over = config.model.get("maxvit", None)
+    if spec is None:
+        # unknown maxvit flavors (rmlp/rw/nano/...) have different block
+        # layouts — guessing a spec would fail opaquely at conversion or
+        # partitioning, so require an explicit full spec override
+        required = ("dims", "depths", "stem_width", "dim_head", "partition")
+        if not over or not all(k in over for k in required):
+            raise NotImplementedError(
+                f"maxvit encoder {name!r} is not one of the known tf "
+                f"variants ({', '.join(sorted(_VARIANTS))}); provide a full "
+                "config.model.maxvit spec (dims/depths/stem_width/dim_head/"
+                "partition) or use a supported encoder_name")
+        spec = {}
     if over:
         spec.update({k: tuple(v) if isinstance(v, (list, tuple)) else v
                      for k, v in dict(over).items()})
@@ -195,7 +204,8 @@ def _mbconv(p, x, stride):
         short = jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") * 0.25
         if "shortcut" in p:
-            short = L.conv2d(short, p["shortcut"]["weight"], p["shortcut"]["bias"])
+            short = L.conv2d(short, p["shortcut"]["weight"],
+                             p["shortcut"].get("bias"))
     else:
         short = x
     x = _bn_act(x, p["pre_norm"], act=False)
@@ -204,10 +214,10 @@ def _mbconv(p, x, stride):
     x = _conv_same(x, p["conv2"], stride=stride, groups=x.shape[1])
     x = _bn_act(x, p["norm2"])
     s = x.mean(axis=(2, 3), keepdims=True)
-    s = L.conv2d(s, p["se"]["fc1"]["weight"], p["se"]["fc1"]["bias"])
-    s = L.conv2d(L.swish(s), p["se"]["fc2"]["weight"], p["se"]["fc2"]["bias"])
+    s = L.conv2d(s, p["se"]["fc1"]["weight"], p["se"]["fc1"].get("bias"))
+    s = L.conv2d(L.swish(s), p["se"]["fc2"]["weight"], p["se"]["fc2"].get("bias"))
     x = x * jax.nn.sigmoid(s)
-    x = L.conv2d(x, p["conv3"]["weight"], p["conv3"]["bias"])
+    x = L.conv2d(x, p["conv3"]["weight"], p["conv3"].get("bias"))
     return x + short
 
 
@@ -301,8 +311,8 @@ def apply(params, x, spec):
     skips = feats[1:] + [None]
     for p, skip in zip(params["decoder"], skips):
         y = _decoder_block(p, y, skip)
-    return L.conv2d(y, params["seg_head"]["weight"], params["seg_head"]["bias"],
-                    padding=(1, 1))
+    return L.conv2d(y, params["seg_head"]["weight"],
+                    params["seg_head"].get("bias"), padding=(1, 1))
 
 
 # --------------------------------------------------------------------------

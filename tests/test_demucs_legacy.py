@@ -60,6 +60,39 @@ def test_forward_parity(lstm_layers):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_framed_blstm_parity():
+    """Direct parity of the framed (max_steps=200) skip-BLSTM path — at
+    real song lengths the deep DConv BLSTMs always frame (T*2/4^5 > 200
+    for segments over ~2.3 s), but the tiny forward-parity inputs above
+    stay below the threshold, so the stitch geometry needs its own test."""
+    from tests.oracles.torch_demucs_legacy import BLSTM
+
+    torch.manual_seed(5)
+    dim, t = 6, 517  # t > max_steps and NOT a multiple of the stride
+    m = BLSTM(dim, layers=2, max_steps=200, skip=True)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.uniform_(-0.3, 0.3)
+    m.eval()
+    sd = {k: jnp.asarray(v.numpy()) for k, v in m.state_dict().items()}
+
+    def side(li, suffix):
+        return {"weight_ih": sd[f"lstm.weight_ih_l{li}{suffix}"],
+                "weight_hh": sd[f"lstm.weight_hh_l{li}{suffix}"],
+                "bias_ih": sd[f"lstm.bias_ih_l{li}{suffix}"],
+                "bias_hh": sd[f"lstm.bias_hh_l{li}{suffix}"]}
+
+    p = {"layers": [{"fwd": side(li, ""), "bwd": side(li, "_reverse")}
+                    for li in range(2)],
+         "linear": {"weight": sd["linear.weight"], "bias": sd["linear.bias"]}}
+    x = np.random.default_rng(6).standard_normal((2, dim, t)).astype(np.float32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    out = np.asarray(demucs_legacy._blstm(p, jnp.asarray(x), max_steps=200,
+                                          skip=True))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
 def test_resample_parity():
     rng = np.random.default_rng(1)
     x = rng.standard_normal((2, 3, 1000)).astype(np.float32)
