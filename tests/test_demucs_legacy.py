@@ -140,6 +140,34 @@ def test_converter_is_strict():
         demucs_legacy.convert_torch(sd, config)
 
 
+def test_session_demucs_mode_flow(tmp_path):
+    """model_type 'htdemucs' + YAML model: demucs must flow through the
+    session's demucs-mode chunked demix (chunk = samplerate * segment,
+    plain averaging; reference utils.py:330-477 demucs branch)."""
+    import yaml
+    from sesa_tpu.runtime.session import InferenceSession
+
+    cfg = {
+        "model": "demucs",
+        "demucs": {"channels": 8, "depth": 4, "lstm_layers": 0,
+                   "resample": True, "dconv_comp": 2},
+        "training": {"instruments": ["drums", "bass", "other", "vocals"],
+                     "channels": 2, "samplerate": 44100, "segment": 0.5},
+        "inference": {"num_overlap": 2, "batch_size": 2},
+    }
+    path = str(tmp_path / "demucs.yaml")
+    yaml.safe_dump(cfg, open(path, "w"))
+    sess = InferenceSession.create("htdemucs", path, "", seed=0,
+                                   compute_dtype=None)
+    assert sess.spec.demucs_mode and sess.spec.chunk_size == 22050
+    song = (np.random.default_rng(7).standard_normal((2, 44100))
+            .astype(np.float32) * 0.2)
+    stems = sess.separate(song)
+    assert sorted(stems) == ["bass", "drums", "other", "vocals"]
+    for wav in stems.values():
+        assert wav.shape == song.shape and np.isfinite(wav).all()
+
+
 def test_fresh_init_forward():
     config = tiny_config(lstm_layers=2, depth=5)
     params = demucs_legacy.init(jax.random.PRNGKey(0), config)
