@@ -10,6 +10,7 @@ runs at HIGHEST (this backend's default matmul precision is bf16-level).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -168,7 +169,11 @@ def lstm(x, params, reverse=False, precision=DEFAULT_PRECISION):
 
     bsz = x.shape[0]
     init = (jnp.zeros((bsz, h_dim), x.dtype), jnp.zeros((bsz, h_dim), x.dtype))
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1))
+    # unrolling the scan trades program size for less per-step dispatch
+    # overhead on TPU (tunable; 1 = no unroll)
+    unroll = int(os.environ.get("SESA_LSTM_UNROLL", "1"))
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(xproj, 0, 1),
+                         unroll=max(1, unroll))
     hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
     if reverse:
         hs = jnp.flip(hs, axis=1)
