@@ -243,8 +243,13 @@ def _demix_segment(
 
 def _finalize_math(result: jax.Array, counter: jax.Array) -> jax.Array:
     est = result / jnp.where(counter > 0, counter, 1.0)[None, None, :]
-    est = jnp.where(counter[None, None, :] > 0, est, 0.0)
-    return jnp.nan_to_num(est)
+    # counter==0 positions are zeroed explicitly; model-produced NaN/Inf is
+    # deliberately NOT scrubbed here — the session's bf16->f32 rescue
+    # detects it after the fetch (int16 transport surfaces it too: the
+    # quantization scale is max|slab|, which propagates the non-finite).
+    # The final nan_to_num of reference utils.py:459 happens host-side in
+    # session.separate, after the rescue decision.
+    return jnp.where(counter[None, None, :] > 0, est, 0.0)
 
 
 def _bucket_length(l_buf: int, chunk: int) -> int:
@@ -386,11 +391,16 @@ class DemixJob:
 
     def collect(self) -> np.ndarray:
         spec, slab_len, lo, hi = self._spec, self._slab_len, self._lo, self._hi
-        scales = [s for _, s in self._slabs if s is not None]
-        if scales:
+        with_scale = [si for si, (_, s) in enumerate(self._slabs)
+                      if s is not None]
+        if with_scale:
             # one round trip for every slab's quantization scale (a
-            # float() per slab costs a full relay round trip each)
-            scales = iter(np.asarray(jnp.stack(scales)))
+            # float() per slab costs a full relay round trip each);
+            # keyed by slab index so slabs skipped below (entirely inside
+            # the reflect border) cannot desynchronize the mapping
+            vals = np.asarray(jnp.stack([self._slabs[si][1]
+                                         for si in with_scale]))
+            scale_by_slab = dict(zip(with_scale, vals))
         est = np.empty((spec.num_stems, spec.num_channels, hi - lo),
                        dtype=np.float32)
         for si, (slab, scale) in enumerate(self._slabs):
@@ -401,7 +411,8 @@ class DemixJob:
                 continue
             part = np.asarray(slab)[..., c0 - s0 : c1 - s0]
             if scale is not None:
-                part = part.astype(np.float32) * (float(next(scales)) / 32767.0)
+                part = part.astype(np.float32) * (
+                    float(scale_by_slab[si]) / 32767.0)
             est[..., c0 - lo : c1 - lo] = part
         return est
 
@@ -550,14 +561,24 @@ def apply_tta(
     Matches reference utils.py:241-292 ``apply_tta``: the channel-swapped
     result is swapped back and added, the polarity-inverted result is
     subtracted, and the total is divided by 3.
+
+    When ``mix`` is already a device array (shared upload), the channel
+    swap and negation run as trivial device ops instead of re-uploading
+    the full song twice over the relay.
     """
-    swapped = demix(model_apply, params, mix[::-1].copy(), spec, **demix_kwargs)
+    if isinstance(mix, jax.Array):
+        swapped_mix = jnp.flip(mix, axis=0)
+        negated_mix = -mix
+    else:
+        swapped_mix = mix[::-1].copy()
+        negated_mix = -mix
+    swapped = demix(model_apply, params, swapped_mix, spec, **demix_kwargs)
     stems = stems + swapped[:, ::-1]
     inv_kwargs = dict(demix_kwargs)
     if inv_kwargs.get("affine") is not None:
         # -((x - m)/s) == ((-x) - (-m))/s: negate the raw mix, flip the mean
         m, s = inv_kwargs["affine"]
         inv_kwargs["affine"] = (-m, s)
-    inverted = demix(model_apply, params, -mix, spec, **inv_kwargs)
+    inverted = demix(model_apply, params, negated_mix, spec, **inv_kwargs)
     stems = stems - inverted
     return stems / 3.0

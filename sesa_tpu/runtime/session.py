@@ -90,12 +90,9 @@ class InferenceSession:
             stems = len(training_cfg["instruments"])
         else:
             chunk = int(chunk_size or audio_cfg.get("chunk_size") or 352800)
-            if training_cfg.get("target_instrument"):
-                stems = 1
-            elif training_cfg.get("instruments"):
-                stems = len(training_cfg["instruments"])
-            else:
-                stems = 1  # restoration models (apollo) emit one stem
+            # same helper the `instruments` property uses, so stem COUNT
+            # can never drift from stem NAMES
+            stems = len(prefer_target_instrument(config))
         spec = DemixSpec(
             chunk_size=chunk,
             num_overlap=int(num_overlap or inference_cfg.get("num_overlap", 2)),
@@ -123,6 +120,16 @@ class InferenceSession:
         return int(sr)
 
     def _model_apply(self):
+        # cache per compute_dtype: _demix_segment's jit treats model_apply
+        # as a static arg keyed by IDENTITY, so a fresh closure per
+        # separate() call would retrace (and re-dispatch the remote
+        # compile) on every call — e.g. Apollo's mid/side double pass
+        cache = getattr(self, "_apply_fn_cache", None)
+        if cache is None:
+            cache = self._apply_fn_cache = {}
+        key = str(self.compute_dtype)
+        if key in cache:
+            return cache[key]
         model = get_model(self.model_type)
         config = self.config
         dtype = self.compute_dtype
@@ -138,6 +145,7 @@ class InferenceSession:
             assert out.shape[1] == stems, (out.shape, stems)
             return out
 
+        cache[key] = apply_fn
         return apply_fn
 
     def separate(
@@ -178,16 +186,19 @@ class InferenceSession:
 
         # scaled-int16 slab transport halves the dominant device->host
         # fetch; its -90 dB quantization floor is far below the bf16
-        # compute noise, so it only engages for bf16 sessions (f32
-        # sessions — oracles, rescue reruns — keep exact transport)
-        transport = "int16" if self.compute_dtype is not None else "f32"
+        # compute noise, so it only engages for reduced-precision sessions
+        # (f32 sessions — default rescue reruns AND explicit
+        # compute_dtype=float32 — keep exact transport)
+        lossy = (self.compute_dtype is not None
+                 and self.compute_dtype != jnp.float32)
+        transport = "int16" if lossy else "f32"
         apply_fn = self._model_apply()
         stems = demix(apply_fn, self.params,
                       mix if mix_device is None else mix_device,
                       self.spec, mesh=self.mesh,
                       progress_cb=progress_cb, affine=affine,
                       transport=transport)
-        if self.compute_dtype is not None and not np.isfinite(stems).all():
+        if lossy and not np.isfinite(stems).all():
             # runtime fallback, analog of the reference's compiled->eager
             # rescue (pytorch_backend.py:315-332): retry in full f32
             print("non-finite output under bf16; retrying in float32")
@@ -197,9 +208,16 @@ class InferenceSession:
             stems = demix(apply_fn, self.params, mix, self.spec, mesh=self.mesh,
                           progress_cb=progress_cb, affine=affine)
         if use_tta:
-            stems = apply_tta(apply_fn, self.params, mix, stems, self.spec,
+            stems = apply_tta(apply_fn, self.params,
+                              mix if mix_device is None else mix_device,
+                              stems, self.spec,
                               mesh=self.mesh, affine=affine,
                               transport=transport)
+
+        # final scrub AFTER the rescue decision (reference utils.py:459
+        # nan_to_nums its demix output; ours must happen host-side so
+        # non-finites stay visible to the bf16->f32 rescue above)
+        stems = np.nan_to_num(stems)
 
         out = {}
         for i, name in enumerate(self.instruments):

@@ -231,3 +231,36 @@ def test_demix_start_overlap_and_shared_upload():
     a, b = j1.collect(), j2.collect()
     np.testing.assert_allclose(a, seq, atol=1e-6)
     assert np.abs(b - seq).max() <= np.abs(seq).max() / 32767.0 * 1.01
+
+
+def test_int16_scale_alignment_with_border_only_slabs():
+    """Regression: when the left reflect border spans whole slabs
+    (num_overlap - 1 >= seg_batches * batch_size), collect() skips those
+    slabs — their quantization scales must not shift onto later slabs."""
+    rng = np.random.default_rng(13)
+    mix = rng.standard_normal((2, 120000)).astype(np.float32)
+    # step 2048, border 14336 -> slab_len 4096: first 3 slabs are
+    # entirely inside the border
+    spec = DemixSpec(chunk_size=16384, num_overlap=8, batch_size=2, num_stems=2)
+    exact = demix(_mix_model_jax, None, mix, spec, seg_batches=1)
+    q = demix(_mix_model_jax, None, mix, spec, seg_batches=1,
+              transport="int16")
+    tol = np.abs(exact).max() / 32767.0
+    assert np.abs(q - exact).max() <= tol * 1.01
+
+
+def _nan_model(params, chunks):
+    out = chunks[:, None] * jnp.float32(1.0)
+    return out.at[:, :, :, 5].set(jnp.nan)
+
+
+def test_nonfinite_outputs_stay_visible():
+    """Model-produced NaN must survive to the host on BOTH transports so
+    the session's bf16->f32 rescue can fire (the finalize math only zeroes
+    counter==0 positions; int16 transport surfaces NaN via its scale)."""
+    rng = np.random.default_rng(17)
+    mix = rng.standard_normal((2, 60000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=2, num_stems=1)
+    for transport in ("f32", "int16"):
+        out = demix(_nan_model, None, mix, spec, transport=transport)
+        assert not np.isfinite(out).all(), transport
