@@ -122,3 +122,51 @@ def test_registry_model_types_are_dispatchable():
     types = {e["model_type"] for cat in R.MODEL_CONFIGS.values() for e in cat.values()}
     unknown = types - set(MODEL_TYPES) - {"bs_roformer_custom"}
     assert not unknown, unknown
+
+
+def test_registry_declared_files_come_from_urls():
+    """Every entry's config_path / start_check_point must be produced by
+    one of its download_urls (basename, or [url, target] tuple), and no
+    filename may be downloaded from materially different URLs by
+    different entries (shared-cache first-download-wins corruption).
+
+    The reference registry carries several such bugs verbatim (e.g.
+    model.py:720-724 downloads config_vocals_becruily.yaml while declaring
+    config_instrumental_becruily.yaml; three repos' generic config.yaml
+    collide in the cache dir); this registry fixes them with [url, target]
+    renames and this test keeps them fixed."""
+    import os
+
+    from sesa_tpu.registry.models import MODEL_CONFIGS
+
+    # same-content mirrors of one upstream file (raw/resolve of the same
+    # repo, or the identical config republished) — sharing a cache slot
+    # is intended for these
+    mirror_ok = {
+        "config_melbandroformer_inst.yaml",
+        "model_mel_band_roformer_denoise.yaml",
+        "config_dnr_bandit_v2_mus64.yaml",
+    }
+
+    owners = {}
+    for cat, models in MODEL_CONFIGS.items():
+        for name, e in models.items():
+            produced = {}
+            for u in e["download_urls"]:
+                if isinstance(u, (list, tuple)):
+                    produced[u[1]] = u[0]
+                else:
+                    produced[os.path.basename(u)] = u
+            for key in ("config_path", "start_check_point"):
+                declared = e.get(key)
+                assert declared in produced, (
+                    f"{name}: {key}={declared!r} is not produced by any "
+                    f"download_urls entry {sorted(produced)}")
+            for fname, url in produced.items():
+                if fname in mirror_ok:
+                    continue
+                prev = owners.setdefault(fname, url)
+                assert prev == url, (
+                    f"{fname} downloaded from two different URLs:\n"
+                    f"  {prev}\n  {url}\n-> rename one side with a "
+                    f"[url, target_filename] tuple")
