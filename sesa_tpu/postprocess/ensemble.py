@@ -7,8 +7,9 @@ median / max / min, and spectral methods max_fft / min_fft / median_fft
 min(1024, samples), 50% overlap, falling back to avg_wave on failure).
 
 Two surfaces: ``ensemble_waveforms`` combines in-memory stems in one shot
-(single jnp ops over the stacked (N, ch, T) array — the in-process
-auto-ensemble path), and ``ensemble_files`` streams 32768-frame chunks
+(vectorized numpy over the stacked (N, ch, T) array — host reductions;
+shipping stems to the device costs more in relay transfers than the
+reduction saves), and ``ensemble_files`` streams 32768-frame chunks
 through aligned libsndfile readers with bounded memory for arbitrarily
 long files, matching the reference's streaming engine (ensemble.py:319).
 """
@@ -19,8 +20,6 @@ import os
 from typing import List, Optional, Sequence
 
 import numpy as np
-
-import jax.numpy as jnp
 
 ENSEMBLE_METHODS = (
     "avg_wave", "median_wave", "max_wave", "min_wave",
@@ -82,6 +81,16 @@ def _spectral_combine(stack: np.ndarray, method: str) -> Optional[np.ndarray]:
     return out
 
 
+def _check_weights(weights, n_inputs: int) -> None:
+    """reference ensemble.py:288-293: weight count must match input count
+    (a mismatch would otherwise surface as a cryptic mid-stream tensordot
+    shape error after the output file was already created)."""
+    if weights is not None and len(weights) != n_inputs:
+        raise ValueError(
+            f"got {len(weights)} weights for {n_inputs} inputs; counts "
+            "must match")
+
+
 def ensemble_waveforms(waves: Sequence[np.ndarray], method: str = "avg_wave",
                        weights: Optional[Sequence[float]] = None) -> np.ndarray:
     """Combine N (ch, T) waveforms into one (ch, T_min)."""
@@ -89,6 +98,7 @@ def ensemble_waveforms(waves: Sequence[np.ndarray], method: str = "avg_wave",
         raise ValueError(f"Invalid method '{method}'. Available: {list(ENSEMBLE_METHODS)}")
     if not waves:
         raise ValueError("no input waveforms")
+    _check_weights(weights, len(waves))
     stack = _stack_truncate(waves)
     w = np.asarray(weights, dtype=np.float32) if weights is not None else None
 
@@ -138,6 +148,7 @@ def ensemble_files(files: List[str], method: str, output_path: str,
         raise ValueError(f"Invalid method '{method}'. Available: {list(ENSEMBLE_METHODS)}")
     if not files:
         raise ValueError("no input files")
+    _check_weights(weights, len(files))
     w = np.asarray(weights, dtype=np.float32) if weights is not None else None
 
     readers = [AudioReader(f) for f in files]

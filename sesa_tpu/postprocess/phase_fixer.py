@@ -54,7 +54,14 @@ TARGET_MODELS = [
 
 def blend_factors(freqs: jax.Array, low_cutoff: float, high_cutoff: float,
                   base_factor: float, scale_factor: float) -> jax.Array:
-    """Frequency-dependent phase blend factor (reference phase_fixer.py:6-23)."""
+    """Frequency-dependent phase blend factor (reference phase_fixer.py:6-23).
+
+    Raises on low_cutoff >= high_cutoff like the reference (:11-12) — the
+    ramp denominator would otherwise produce NaN/garbage blends silently."""
+    if low_cutoff >= high_cutoff:
+        raise ValueError(
+            f"low_cutoff ({low_cutoff}) must be less than high_cutoff "
+            f"({high_cutoff})")
     ramp = base_factor + scale_factor * (freqs - low_cutoff) / (high_cutoff - low_cutoff)
     f = jnp.where(freqs < low_cutoff, base_factor, ramp)
     return jnp.where(freqs > high_cutoff, base_factor + scale_factor, f)
@@ -82,6 +89,15 @@ def phase_fix_arrays(
     window = hann_window(n_fft)
     length = source.shape[-1]
     tmin = min(source.shape[-1], target.shape[-1])
+    # the reference raises on ANY shape mismatch (phase_fixer.py:7-8); we
+    # tolerate sub-hop drift from decoders but refuse real length gaps —
+    # silently zero-padding seconds of output would masquerade as success
+    if abs(source.shape[-1] - target.shape[-1]) > hop:
+        raise ValueError(
+            f"source/target lengths differ by "
+            f"{abs(source.shape[-1] - target.shape[-1])} samples "
+            f"({source.shape[-1]} vs {target.shape[-1]}); phase fixing "
+            "requires the same audio span")
 
     src = jnp.asarray(source[..., :tmin]).astype(jnp.float32)
     tgt = jnp.asarray(target[..., :tmin]).astype(jnp.float32)

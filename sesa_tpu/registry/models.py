@@ -100,10 +100,23 @@ def preprocess_yaml_content(content: str) -> str:
                 value.startswith("'") and value.endswith("'")
             )
             if (":" in value or "\\" in value) and not quoted:
-                # single quotes: YAML doesn't interpret backslash escapes in
-                # them, so Windows paths survive (double quotes would not)
-                fixed.append(f"{indent}{key}: '{value.replace(chr(39), chr(39) * 2)}'")
-                continue
+                # Only quote values that YAML cannot already parse: blanket
+                # quoting would corrupt valid flow collections
+                # ('model: {dim: 512}' -> a string) and swallow inline
+                # comments into values.
+                try:
+                    yaml.safe_load(f"k: {value}")
+                    parses = True
+                except yaml.YAMLError:
+                    parses = False
+                if not parses:
+                    # single quotes: YAML doesn't interpret backslash
+                    # escapes in them, so Windows paths survive (double
+                    # quotes would not)
+                    fixed.append(
+                        f"{indent}{key}: "
+                        f"'{value.replace(chr(39), chr(39) * 2)}'")
+                    continue
         fixed.append(line)
     return "\n".join(fixed)
 
@@ -150,18 +163,40 @@ def download_file(url: str, path: Optional[str] = None,
 
     done = 0
     last = -1
+    first_bytes = b""
     print(f"[SESA_DOWNLOAD]START:{filename}", flush=True)
-    with open(file_path, "wb") as f:
-        for chunk in response.iter_content(chunk_size=1 << 20):
-            f.write(chunk)
-            done += len(chunk)
-            if total > 0:
-                pct = int(done * 100 / total)
-                if pct != last:
-                    last = pct
-                    print(f"[SESA_DOWNLOAD]{filename}:{pct}", flush=True)
-                    if progress_cb:
-                        progress_cb(filename, pct)
+    # stream into a .part file and rename on success: an interrupted
+    # download must never be cached as a complete checkpoint (the
+    # os.path.exists fast path above would serve it forever)
+    part_path = file_path + ".part"
+    try:
+        with open(part_path, "wb") as f:
+            for chunk in response.iter_content(chunk_size=1 << 20):
+                if len(first_bytes) < 512:
+                    first_bytes += chunk[: 512 - len(first_bytes)]
+                f.write(chunk)
+                done += len(chunk)
+                if total > 0:
+                    pct = int(done * 100 / total)
+                    if pct != last:
+                        last = pct
+                        print(f"[SESA_DOWNLOAD]{filename}:{pct}", flush=True)
+                        if progress_cb:
+                            progress_cb(filename, pct)
+        if total > 0 and done < total:
+            raise RuntimeError(
+                f"truncated download: got {done} of {total} bytes for {url}")
+        # checkpoints served as HTML pages (login walls, error pages with
+        # 200, non-fixable /blob/ viewers) must fail HERE, not as an
+        # opaque parse error at load time
+        head = first_bytes.lstrip().lower()
+        if head.startswith((b"<!doctype html", b"<html")):
+            raise ValueError(
+                f"downloaded file is an HTML page, not a checkpoint: {url}")
+        os.replace(part_path, file_path)
+    finally:
+        if os.path.exists(part_path):
+            os.remove(part_path)
     print(f"[SESA_DOWNLOAD]END:{filename}", flush=True)
     return file_path
 

@@ -3,6 +3,8 @@ custom-model CRUD (network-free)."""
 
 import os
 
+import numpy as np
+
 import pytest
 import yaml
 
@@ -170,3 +172,81 @@ def test_registry_declared_files_come_from_urls():
                     f"{fname} downloaded from two different URLs:\n"
                     f"  {prev}\n  {url}\n-> rename one side with a "
                     f"[url, target_filename] tuple")
+
+
+def test_preprocess_yaml_preserves_valid_flow_collections():
+    """Blanket colon-quoting corrupted valid YAML ('model: {dim: 512}'
+    became a string); quoting must only fire when the value fails to
+    parse as-is."""
+    from sesa_tpu.registry.models import preprocess_yaml_content
+    import yaml
+
+    src = "model: {dim: 512, depth: 6}\nurl: https://x.co/y\npath: C:\\d\n"
+    out = yaml.safe_load(preprocess_yaml_content(src))
+    assert out["model"] == {"dim": 512, "depth": 6}
+    assert out["url"] == "https://x.co/y"
+    assert out["path"] == "C:\\d"
+    # genuinely broken values still get rescued by quoting
+    broken = "bad: a: b\n"
+    out2 = yaml.safe_load(preprocess_yaml_content(broken))
+    assert out2["bad"] == "a: b"
+
+
+def test_download_rejects_truncation_and_html(tmp_path, monkeypatch):
+    """Interrupted downloads must not be cached as complete files, and
+    HTML pages served as checkpoints must fail at download time."""
+    import sesa_tpu.registry.models as M
+
+    class FakeResponse:
+        def __init__(self, payload, total=None):
+            self.status_code = 200
+            self.headers = {"content-length": str(total if total is not None
+                                                  else len(payload))}
+            self._payload = payload
+
+        def iter_content(self, chunk_size):
+            yield self._payload
+
+    def fake_get(url, stream, timeout):
+        return fake_get.response
+
+    monkeypatch.setattr(M, "CHECKPOINT_DIR", str(tmp_path))
+    import requests
+    monkeypatch.setattr(requests, "get", fake_get)
+
+    # truncated: 10 bytes delivered of a declared 100
+    fake_get.response = FakeResponse(b"x" * 10, total=100)
+    with pytest.raises(RuntimeError, match="truncated"):
+        M.download_file("https://host/model.ckpt")
+    assert not (tmp_path / "model.ckpt").exists()
+    assert not (tmp_path / "model.ckpt.part").exists()
+
+    # HTML masquerading as a checkpoint
+    fake_get.response = FakeResponse(b"<!DOCTYPE html><html>login</html>")
+    with pytest.raises(ValueError, match="HTML page"):
+        M.download_file("https://host/model.ckpt")
+    assert not (tmp_path / "model.ckpt").exists()
+
+    # good payload lands under the final name
+    fake_get.response = FakeResponse(b"PK\x03\x04" + b"w" * 64)
+    path = M.download_file("https://host/model.ckpt")
+    assert path.endswith("model.ckpt") and (tmp_path / "model.ckpt").exists()
+
+
+def test_phase_fixer_validations():
+    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
+
+    a = np.zeros((2, 8192), dtype=np.float32)
+    b = np.zeros((2, 4096), dtype=np.float32)
+    with pytest.raises(ValueError, match="lengths differ"):
+        phase_fix_arrays(a, b, 44100)
+    with pytest.raises(ValueError, match="low_cutoff"):
+        phase_fix_arrays(a, a, 44100, low_cutoff=9000, high_cutoff=500)
+
+
+def test_ensemble_weight_count_validation(tmp_path):
+    from sesa_tpu.postprocess.ensemble import ensemble_waveforms
+
+    waves = [np.zeros((2, 100), dtype=np.float32)] * 3
+    with pytest.raises(ValueError, match="weights"):
+        ensemble_waveforms(waves, "avg_wave", weights=[0.5, 0.5])
