@@ -86,7 +86,10 @@ def process_with_apollo(
     files = [f for f in output_files if f and os.path.exists(f)]
     span = total_progress_end - total_progress_start
     enhanced = []
-    for idx, path in enumerate(output_files):
+    done = 0  # progress counts PROCESSED files, not list positions —
+    # indexing output_files against len(files) overshot the end bound
+    # whenever entries were missing
+    for path in output_files:
         if not path or not os.path.exists(path):
             enhanced.append(path)
             continue
@@ -95,8 +98,9 @@ def process_with_apollo(
         out_path = os.path.join(output_dir, f"{base}{suffix}.{output_format}")
         try:
             if progress is not None:
-                progress(total_progress_start + idx * span / max(1, len(files)),
-                         desc=f"Enhancing with Apollo... ({idx + 1}/{len(files)})")
+                progress(total_progress_start + done * span / max(1, len(files)),
+                         desc=f"Enhancing with Apollo... ({done + 1}/{len(files)})")
+            done += 1
             audio, sr = read_audio(path)
             if apollo_method == "mid_side_method":
                 if audio.shape[0] == 1:
@@ -112,8 +116,7 @@ def process_with_apollo(
             else:
                 stems = session.separate(audio)
                 out = next(iter(stems.values()))
-            write_audio(out_path, out, sr)
-            enhanced.append(out_path)
+            enhanced.append(write_audio(out_path, out, sr))
         except Exception as e:
             print(f"Apollo failed for {path}: {e}; keeping original")
             enhanced.append(path)

@@ -64,11 +64,14 @@ def read_audio(path: str, target_sr: Optional[int] = None) -> Tuple[np.ndarray, 
     return np.ascontiguousarray(data), sr
 
 
-def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -> None:
+def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -> str:
     """Write (channels, T) float32 audio. subtype: FLOAT | PCM_16 | PCM_24.
 
-    ``.flac`` requires soundfile; without it a ``.wav`` of the requested
-    PCM depth is written instead (path extension is adjusted).
+    Returns the path actually written: ``.flac`` requires soundfile;
+    without it a ``.wav`` of the requested PCM depth is written instead
+    (path extension is adjusted — callers must use the returned path).
+    FLAC cannot carry FLOAT samples, so that combination is coerced to
+    PCM_24 (lossless at 24-bit, the reference's flac default).
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 1:
@@ -76,14 +79,16 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
     data = audio.T  # (T, channels)
 
     ext = os.path.splitext(path)[1].lower()
+    if ext == ".flac" and subtype == "FLOAT":
+        subtype = "PCM_24"
     if ext == ".wav":
         from sesa_tpu import native as _native
 
         if _native.wav_write(path, audio, sr, subtype=subtype):
-            return
+            return path
     if _sf is not None:
         _sf.write(path, data, sr, subtype=subtype)
-        return
+        return path
     if ext == ".flac":
         path = os.path.splitext(path)[0] + ".wav"
 
@@ -91,7 +96,7 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
         from scipy.io import wavfile
 
         wavfile.write(path, sr, data)
-        return
+        return path
 
     clipped = np.clip(data, -1.0, 1.0)
     with wave.open(path, "wb") as w:
@@ -108,6 +113,7 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
             w.writeframes(b[:, :3].tobytes())
         else:
             raise ValueError(f"unknown subtype {subtype}")
+    return path
 
 
 class AudioReader:

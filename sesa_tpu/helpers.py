@@ -64,10 +64,14 @@ def clear_temp_folder(directory: str, exclude_items=()) -> None:
 
 
 def sanitize_filename(filename: str) -> str:
-    """Strip characters that break shells/ffmpeg (reference helpers.py:220)."""
+    """Strip characters that break shells/ffmpeg (reference helpers.py:220).
+
+    The extension is sanitized too — URL-derived names can carry query/
+    fragment junk after the dot ('song.mp3#frag')."""
     base, ext = os.path.splitext(filename)
     base = re.sub(r"[^\w\-. ]", "_", base)
     base = re.sub(r"\s+", "_", base).strip("_")
+    ext = re.sub(r"[^\w.]", "", ext)
     return f"{base}{ext}"
 
 
@@ -187,24 +191,25 @@ def run_matchering(reference_path: str, target_path: str, output_path: str,
 
     from sesa_tpu.audio_io import read_audio, write_audio
 
-    tmp = tempfile.gettempdir()
-    ref, sr = read_audio(reference_path, target_sr=44100)
-    tgt, _ = read_audio(target_path, target_sr=44100)
-    temp_ref = os.path.join(tmp, "matchering_ref.wav")
-    temp_tgt = os.path.join(tmp, "matchering_tgt.wav")
-    write_audio(temp_ref, ref, 44100)
-    write_audio(temp_tgt, tgt, 44100)
+    # per-call private tempdir: fixed names in the shared system tempdir
+    # let concurrent runs master against each other's reference files
+    tmp = tempfile.mkdtemp(prefix="sesa_matchering_")
+    try:
+        ref, sr = read_audio(reference_path, target_sr=44100)
+        tgt, _ = read_audio(target_path, target_sr=44100)
+        temp_ref = os.path.join(tmp, "matchering_ref.wav")
+        temp_tgt = os.path.join(tmp, "matchering_tgt.wav")
+        write_audio(temp_ref, ref, 44100)
+        write_audio(temp_tgt, tgt, 44100)
 
-    result_format = mg.pcm24 if bit_depth == 24 else mg.pcm16
-    current = temp_tgt
-    for i in range(passes):
-        temp_out = os.path.join(tmp, f"matchering_out_pass_{i}.wav")
-        mg.process(reference=temp_ref, target=current,
-                   results=[result_format(temp_out)], config=mg.Config())
-        current = temp_out
-    shutil.move(current, output_path)
-    for f in [temp_ref, temp_tgt] + [os.path.join(tmp, f"matchering_out_pass_{i}.wav")
-                                     for i in range(passes - 1)]:
-        if os.path.exists(f):
-            os.remove(f)
+        result_format = mg.pcm24 if bit_depth == 24 else mg.pcm16
+        current = temp_tgt
+        for i in range(passes):
+            temp_out = os.path.join(tmp, f"matchering_out_pass_{i}.wav")
+            mg.process(reference=temp_ref, target=current,
+                       results=[result_format(temp_out)], config=mg.Config())
+            current = temp_out
+        shutil.move(current, output_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return output_path

@@ -14,6 +14,7 @@ All three entry points are generators yielding
 
 from __future__ import annotations
 
+import re
 import os
 import queue
 import threading
@@ -48,9 +49,22 @@ def _timestamped_name(base: str, stem: str, model: str, ext: str) -> str:
 
 
 def find_file_for_stem(files: List[str], keyword: str) -> Optional[str]:
+    """Map an output file to a GUI stem slot.
+
+    Output names are ``{ts}_{base}_{stem}_{model}{ext}``
+    (:func:`_timestamped_name`), so the stem is matched as a delimited
+    ``_{stem}_`` token — raw substring matching mis-slotted files whenever
+    the model name or song title contained a stem word ('male' is even a
+    substring of 'female')."""
+    token = f"_{keyword.lower()}_"
     for f in files:
-        name = os.path.basename(f).lower()
-        if keyword in name:
+        if token in os.path.basename(f).lower():
+            return f
+    # fallback for externally-named files that don't follow our pattern:
+    # require a non-letter before the keyword so 'male' can't hit 'female'
+    pat = re.compile(rf"(?<![a-z]){re.escape(keyword.lower())}")
+    for f in files:
+        if pat.search(os.path.basename(f).lower()):
             return f
     return None
 
@@ -167,8 +181,9 @@ def process_audio(
     for stem, est in waveforms.items():
         out_name = _timestamped_name(base, stem, model_name, ext)
         out_path = os.path.join(output_dir, out_name)
-        write_audio(out_path, est, sr, subtype=subtype)
-        outputs.append(out_path)
+        # write_audio may fall back to .wav without soundfile: record the
+        # path actually written, not the requested one
+        outputs.append(write_audio(out_path, est, sr, subtype=subtype))
     yield {"progress": 80, "status": "Stems written", "outputs": outputs}
 
     if use_apollo:
@@ -252,6 +267,8 @@ def auto_ensemble_process(
                "outputs": []}
         session = _make_session(model, chunk_size, overlap)
         mix, sr = read_audio(input_audio_file, target_sr=session.sample_rate)
+        if mi == 0:
+            sr_first = sr
         sr_out = sr
         mix_dev = None
         try:
@@ -299,6 +316,15 @@ def auto_ensemble_process(
         thread.join()
         if "error" in result:
             raise result["error"]
+        if sr != sr_first:
+            # the file-based ensemble path rejects sample-rate mismatches
+            # (postprocess/ensemble.py validate, reference ensemble.py:86-170);
+            # averaging waveforms at different rates sample-by-sample would
+            # silently time-stretch one of them
+            raise ValueError(
+                f"model {model!r} separates at {sr} Hz but the first "
+                f"selected model ran at {sr_first} Hz; ensemble inputs "
+                "must share one sample rate")
         waveforms = result["waveforms"]
         # keep stems whose names match the ensemble targets
         for stem, est in waveforms.items():
@@ -308,7 +334,9 @@ def auto_ensemble_process(
     yield {"progress": 82, "status": f"Ensembling ({ensemble_type})...", "outputs": []}
     base = os.path.splitext(os.path.basename(input_audio_file))[0]
     ext = ".flac" if export_format.startswith("flac") else ".wav"
-    subtype = "FLOAT" if export_format.startswith("wav FLOAT") else "PCM_24"
+    # same bit-depth mapping as process_audio: honor an explicit PCM_16
+    subtype = ("FLOAT" if export_format.startswith("wav FLOAT")
+               else ("PCM_16" if "PCM_16" in export_format else "PCM_24"))
 
     outputs = []
     for stem, waves in collected.items():
@@ -317,8 +345,7 @@ def auto_ensemble_process(
         combined = ensemble_waveforms(waves, ensemble_type) if len(waves) > 1 else waves[0]
         out_path = os.path.join(
             output_dir, _timestamped_name(base, stem, f"ensemble_{ensemble_type}", ext))
-        write_audio(out_path, combined, sr_out, subtype=subtype)
-        outputs.append(out_path)
+        outputs.append(write_audio(out_path, combined, sr_out, subtype=subtype))
 
     if use_apollo:
         from sesa_tpu.apollo_processing import process_with_apollo
@@ -361,14 +388,41 @@ def ensemble_audio_fn(files: List[str], method: str, weights=None,
     ts = time.strftime("%Y%m%d%H%M%S")
     out_path = os.path.join(output_dir, f"ensemble_{method}_{ts}.wav")
 
-    state = {"v": 0}
-
-    def cb(frac):
-        state["v"] = clamp_percentage(frac * 100)
-
     yield {"progress": 5, "status": f"Ensembling {len(files)} files ({method})...",
            "outputs": []}
     if weights is not None and isinstance(weights, str):
         weights = [float(w) for w in weights.replace(",", " ").split()] or None
-    result = ensemble_files(files, method, out_path, weights=weights, progress_cb=cb)
-    yield {"progress": 100, "status": "Done", "outputs": [result]}
+
+    # live streaming progress: the same worker-thread + queue pattern the
+    # separation orchestrators use (ensemble_files runs synchronously, so
+    # an inline callback could never reach the GUI between yields)
+    events: "queue.Queue[Optional[int]]" = queue.Queue()
+    result: Dict[str, object] = {}
+
+    def cb(frac):
+        events.put(clamp_percentage(5 + frac * 90))
+
+    def worker():
+        try:
+            result["path"] = ensemble_files(files, method, out_path,
+                                            weights=weights, progress_cb=cb)
+        except BaseException as e:
+            result["error"] = e
+        finally:
+            events.put(None)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    last = 5
+    while True:
+        item = events.get()
+        if item is None:
+            break
+        if item != last:
+            last = item
+            yield {"progress": item, "status": f"Ensembling... {item}%",
+                   "outputs": []}
+    thread.join()
+    if "error" in result:
+        raise result["error"]
+    yield {"progress": 100, "status": "Done", "outputs": [result["path"]]}
