@@ -44,6 +44,7 @@ def sdpa(
             k.reshape((-1, seq, dim_head)),
             v.reshape((-1, seq, dim_head)),
             scale,
+            group=_vmem_group(seq, dim_head),
         )
         return out.reshape(lead + (seq, dim_head))
 
@@ -171,15 +172,33 @@ def _vmem_attention(q, k, v, scale, group=8):
 # (1.9 MB per 700-seq) f32 score tile must also still fit in VMEM
 _PALLAS_MIN_SEQ = 256
 _PALLAS_MAX_SEQ = 2048
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scope
+
+
+def _vmem_group(seq: int, dim_head: int) -> int:
+    """Heads per program such that the kernel's blocks + one f32 score
+    tile fit the VMEM budget; 0 if even a single head does not fit."""
+    sp = seq + ((-seq) % 128)
+    score = sp * sp * 4
+    for g in (8, 4, 2, 1):
+        if 4 * g * sp * dim_head * 2 + score <= _VMEM_BUDGET:
+            return g
+    return 0
 
 
 def _use_pallas(seq: int, dim_head: int, dtype=None) -> bool:
     if not (_PALLAS_MIN_SEQ <= seq <= _PALLAS_MAX_SEQ) or dim_head > 128:
         return False
+    if _vmem_group(seq, dim_head) == 0:
+        # long-chunk shapes whose whole-sequence tiles exceed scoped VMEM
+        # fall back to the einsum path instead of failing Mosaic compile
+        return False
     if dtype is not None and dtype != jnp.bfloat16:
         # f32 (parity / bf16-rescue mode) doubles the kernel's VMEM
         # footprint past the 16 MB scoped limit at production shapes —
         # keep it on the einsum path
+        return False
+    if os.environ.get("SESA_NO_FUSED"):  # kill switch covers ALL kernels
         return False
     try:
         return jax.devices()[0].platform != "cpu"
@@ -251,6 +270,12 @@ def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
     (n, w) with w <= dh (partial rotary rotates only the leading w dims,
     matching rotary_embedding_torch). Numerics are identical to the
     unfused path: rope via the exact ±1 matrix, f32 softmax.
+
+    Not on the production dispatch path (models use the fully-fused
+    ``fused_attention_block``): retained, with its parity test, as the
+    intermediate diagnostic between plain sdpa and the full block — when
+    the fused block misbehaves on new silicon, this isolates whether the
+    fault is in rope+attention or in the norm/projection/gating fusion.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -397,14 +422,11 @@ def _attn_block_kernel(*refs, scale, seq_len, heads, dh, gb, use_rope,
                    h * dh:(h + 1) * dh] = o.astype(ao_scr.dtype)
         return 0
 
-    if gb <= 4:
-        # static unroll: Mosaic pipelines the small per-sequence dots far
-        # better than a fori_loop; bounded so unrolled temporaries stay
-        # within scoped vmem
-        for bi in range(gb):
-            one_seq(bi, None)
-    else:
-        jax.lax.fori_loop(0, gb, one_seq, 0)
+    # static unroll (gb <= 4 by construction): Mosaic pipelines the small
+    # per-sequence dots far better than a fori_loop, and the bound keeps
+    # unrolled temporaries within scoped vmem
+    for bi in range(gb):
+        one_seq(bi, None)
 
     # per-head gating via the block-ones expansion matmul (Mosaic supports
     # neither 3D reshapes nor dynamic_slice on values in this kernel type);
@@ -652,12 +674,19 @@ def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
 
 def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
                dtype=None) -> bool:
-    # VMEM budget: one program holds gb·(sp·3·h·dh input + sp·h·dh out)
-    # bf16 plus an (sp, sp) f32 score tile; the shapes this serves
-    # (seq<=2048, h·dh<=1024) stay under ~10 MB.
     if not (8 <= seq <= _PALLAS_MAX_SEQ) or dim_head > 128 or dim_head < 8:
         return False
     if heads * dim_head > 1024 or dim_head % 8:
+        return False
+    # VMEM estimate: resident weights (qkv + out projections, bf16) +
+    # one sequence's qkv scratch + attn-out scratch + f32 score tile;
+    # shapes past the budget fall back instead of failing Mosaic compile
+    sp = seq + ((-seq) % 8)
+    d_attn = heads * dim_head
+    d_model = dim or d_attn
+    weights = (d_model * 3 * d_attn + d_attn * d_model) * 2
+    scratch = sp * 3 * d_attn * 2 + sp * d_attn * 2 + sp * sp * 4
+    if weights + scratch > _VMEM_BUDGET:
         return False
     if dim % 64:  # keep model-dim lanes MXU-tileable; odd dims fall back
         return False

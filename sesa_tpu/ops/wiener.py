@@ -17,7 +17,12 @@ Shapes follow openunmix conventions with a trailing RI axis:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# this backend's DEFAULT matmul precision is bf16-level (see ops/fft.py);
+# the EM statistics and gain solves need full f32 accumulation
+_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 # ---- complex helpers on a trailing RI axis --------------------------------
@@ -35,10 +40,12 @@ def _cconj(a):
 
 def _cmatmul(a, b):
     """(..., M, K, 2) @ (..., K, N, 2) complex matmul."""
-    re = jnp.einsum("...mk,...kn->...mn", a[..., 0], b[..., 0]) - jnp.einsum(
-        "...mk,...kn->...mn", a[..., 1], b[..., 1])
-    im = jnp.einsum("...mk,...kn->...mn", a[..., 0], b[..., 1]) + jnp.einsum(
-        "...mk,...kn->...mn", a[..., 1], b[..., 0])
+    re = jnp.einsum("...mk,...kn->...mn", a[..., 0], b[..., 0],
+                    precision=_HIGHEST) - jnp.einsum(
+        "...mk,...kn->...mn", a[..., 1], b[..., 1], precision=_HIGHEST)
+    im = jnp.einsum("...mk,...kn->...mn", a[..., 0], b[..., 1],
+                    precision=_HIGHEST) + jnp.einsum(
+        "...mk,...kn->...mn", a[..., 1], b[..., 0], precision=_HIGHEST)
     return jnp.stack([re, im], axis=-1)
 
 
@@ -104,15 +111,19 @@ def wiener_ri(targets, mix, niters, softmask=False, residual=False,
         v = (y[..., 0, :] ** 2 + y[..., 1, :] ** 2).mean(axis=-2)
         # spatial covariance per source: (F, C, C, 2)
         # R_j = sum_T y_c1 y_c2^* / (eps + sum_T v_j)
-        num_re = jnp.einsum("tfas,tfbs->fabs", y[..., 0, :], y[..., 0, :]) + \
-                 jnp.einsum("tfas,tfbs->fabs", y[..., 1, :], y[..., 1, :])
-        num_im = jnp.einsum("tfas,tfbs->fabs", y[..., 1, :], y[..., 0, :]) - \
-                 jnp.einsum("tfas,tfbs->fabs", y[..., 0, :], y[..., 1, :])
+        num_re = jnp.einsum("tfas,tfbs->fabs", y[..., 0, :], y[..., 0, :],
+                            precision=_HIGHEST) + \
+                 jnp.einsum("tfas,tfbs->fabs", y[..., 1, :], y[..., 1, :],
+                            precision=_HIGHEST)
+        num_im = jnp.einsum("tfas,tfbs->fabs", y[..., 1, :], y[..., 0, :],
+                            precision=_HIGHEST) - \
+                 jnp.einsum("tfas,tfbs->fabs", y[..., 0, :], y[..., 1, :],
+                            precision=_HIGHEST)
         den = eps + v.sum(axis=0)  # (F, S)
         r = jnp.stack([num_re, num_im], axis=-1) / den[:, None, None, :, None]
 
         # mixture covariance: (T, F, C, C, 2)
-        cxx = jnp.einsum("tfs,fabsr->tfabr", v, r)
+        cxx = jnp.einsum("tfs,fabsr->tfabr", v, r, precision=_HIGHEST)
         cxx = cxx.at[..., 0].add(reg)
         inv_cxx = _cinv(cxx)
 

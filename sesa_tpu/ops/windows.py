@@ -15,6 +15,7 @@ import numpy as np
 
 def fade_window(window_size: int, fade_size: int, dtype=jnp.float32) -> jax.Array:
     w = np.ones(window_size, dtype=np.float64)
-    w[:fade_size] = np.linspace(0.0, 1.0, fade_size)
-    w[-fade_size:] = np.linspace(1.0, 0.0, fade_size)
+    if fade_size > 0:  # w[-0:] would select (and clobber) the whole array
+        w[:fade_size] = np.linspace(0.0, 1.0, fade_size)
+        w[-fade_size:] = np.linspace(1.0, 0.0, fade_size)
     return jnp.asarray(w, dtype=dtype)
