@@ -63,17 +63,28 @@ def load_config() -> dict:
     try:
         with open(CONFIG_FILE, encoding="utf-8") as f:
             config = json.load(f)
+        # wrong-shape (but valid) JSON self-heals like corrupt JSON does:
+        # a top-level list or null/mistyped sections must not crash startup
+        if not isinstance(config, dict):
+            raise json.JSONDecodeError("not an object", "", 0)
+        for key, value in DEFAULT_CONFIG.items():
+            if isinstance(value, dict) and key in config and \
+                    not isinstance(config[key], dict):
+                del config[key]
     except json.JSONDecodeError:
         with open(CONFIG_FILE, "w", encoding="utf-8") as f:
             json.dump(DEFAULT_CONFIG, f, indent=2)
         return json.loads(json.dumps(DEFAULT_CONFIG))
-    # merge-load so new keys appear in old configs
+    # merge-load so new keys appear in old configs (defaults are inserted
+    # as deep COPIES so callers can never mutate DEFAULT_CONFIG itself)
     for key, value in DEFAULT_CONFIG.items():
         if key not in config:
-            config[key] = value
+            config[key] = json.loads(json.dumps(value))
         elif isinstance(value, dict):
             for subkey, subvalue in value.items():
-                config[key].setdefault(subkey, subvalue)
+                config[key].setdefault(
+                    subkey, json.loads(json.dumps(subvalue))
+                    if isinstance(subvalue, (dict, list)) else subvalue)
     return config
 
 

@@ -13,6 +13,7 @@ gradio is an optional dependency: importing this module works without it,
 
 from __future__ import annotations
 
+import html
 import os
 from typing import List
 
@@ -42,9 +43,11 @@ CSS = """
 
 def progress_html(pct: int, label: str = "") -> str:
     pct = max(0, min(100, int(pct)))
+    # status text can carry exception reprs ('<class ...>'): escape it so
+    # metacharacters can't corrupt the rendered HTML
     return (
         f'<div class="progress-bar"><div class="progress-fill" '
-        f'style="width:{pct}%"></div></div><p>{label} {pct}%</p>'
+        f'style="width:{pct}%"></div></div><p>{html.escape(label)} {pct}%</p>'
     )
 
 
@@ -138,18 +141,27 @@ def create_interface():
         if not folder or not os.path.isdir(folder):
             return "Folder not found", []
         outs = []
+        failed = []
         files = sorted(
             f for f in os.listdir(folder)
             if f.lower().endswith((".wav", ".flac", ".mp3", ".ogg"))
         )
         for name in files:
-            for upd in processing.process_audio(
-                os.path.join(folder, name), model, int(chunk_size),
-                int(overlap), export_format,
-            ):
-                pass
-            outs.extend(upd.get("outputs", []))
-        return f"Processed {len(files)} files", outs
+            # one corrupt file must not abort the batch or discard the
+            # outputs of the files already processed
+            try:
+                for upd in processing.process_audio(
+                    os.path.join(folder, name), model, int(chunk_size),
+                    int(overlap), export_format,
+                ):
+                    pass
+                outs.extend(upd.get("outputs", []))
+            except Exception as e:
+                failed.append(f"{name} ({e})")
+        status = f"Processed {len(files) - len(failed)}/{len(files)} files"
+        if failed:
+            status += "; failed: " + ", ".join(failed[:5])
+        return status, outs
 
     def add_custom(name, mtype, ckpt_url, cfg_url):
         from sesa_tpu.registry import add_custom_model
@@ -205,11 +217,13 @@ def create_interface():
                         apollo_method = gr.Radio(["normal_method", "mid_side_method"],
                                                  value=settings["apollo_method"],
                                                  label="Method")
+                        from sesa_tpu.apollo_processing import APOLLO_MODELS
+
                         apollo_normal = gr.Dropdown(
-                            list(__import__("sesa_tpu.apollo_processing", fromlist=["APOLLO_MODELS"]).APOLLO_MODELS),
+                            list(APOLLO_MODELS),
                             value=settings["apollo_normal_model"], label="Apollo model")
                         apollo_mid = gr.Dropdown(
-                            list(__import__("sesa_tpu.apollo_processing", fromlist=["APOLLO_MODELS"]).APOLLO_MODELS),
+                            list(APOLLO_MODELS),
                             value=settings["apollo_midside_model"], label="Mid/side model")
                     with gr.Accordion("Matchering mastering", open=False):
                         use_match = gr.Checkbox(value=settings["use_matchering"],
@@ -278,13 +292,17 @@ def create_interface():
             def _decorate(models):
                 return [f"{m} ⭐" if m in favorites else m for m in models]
 
-            def preset_save_fn(name, models, etype, chunk, overlap):
+            def preset_save_fn(name, category, models, etype, chunk, overlap):
                 if not name:
                     return gr.update(), "Enter a preset name first"
+                # record the category too (reference gui.py:729-766 saves
+                # auto_category_dropdown): without it the loaded model
+                # names may be absent from the CheckboxGroup's choices
                 config["presets"] = cm.save_preset(
                     config["presets"], name,
                     [m.replace(" ⭐", "") for m in (models or [])], etype,
-                    chunk_size=chunk, overlap=overlap)
+                    chunk_size=chunk, overlap=overlap,
+                    auto_category_dropdown=category)
                 cm.save_config(favorites, settings, config["presets"])
                 return (gr.update(choices=sorted(config["presets"]), value=name),
                         f"Preset '{name}' saved")
@@ -301,21 +319,25 @@ def create_interface():
                 p = config["presets"].get(name)
                 if not p:
                     return (gr.update(), gr.update(), gr.update(), gr.update(),
-                            "Select a preset to load")
-                return (gr.update(value=_decorate(p.get("models", []))),
+                            gr.update(), "Select a preset to load")
+                cat = p.get("auto_category_dropdown") or "Vocal Models"
+                return (gr.update(value=cat),
+                        gr.update(choices=_model_choices(cat, favorites),
+                                  value=_decorate(p.get("models", []))),
                         gr.update(value=p.get("ensemble_method", "avg_wave")),
                         gr.update(value=p.get("chunk_size") or settings["chunk_size"]),
                         gr.update(value=p.get("overlap") or settings["overlap"]),
                         f"Preset '{name}' loaded")
 
             preset_save.click(preset_save_fn,
-                              [preset_name, ae_models, ae_type, ae_chunk, ae_overlap],
+                              [preset_name, ae_category, ae_models, ae_type,
+                               ae_chunk, ae_overlap],
                               [preset_dd, preset_status])
             preset_del.click(preset_delete_fn, [preset_dd],
                              [preset_dd, preset_status])
             preset_load.click(preset_load_fn, [preset_dd],
-                              [ae_models, ae_type, ae_chunk, ae_overlap,
-                               preset_status])
+                              [ae_category, ae_models, ae_type, ae_chunk,
+                               ae_overlap, preset_status])
 
         with gr.Tab("Download Sources"):
             url_in = gr.Textbox(label="URL (direct / Google Drive / YouTube)")
@@ -376,6 +398,16 @@ def create_interface():
             cm_cfg = gr.Textbox(label="Config URL")
             cm_btn = gr.Button("Add model")
             cm_status = gr.Markdown()
-            cm_btn.click(add_custom, [cm_name, cm_type, cm_ckpt, cm_cfg], cm_status)
+
+            def add_custom_and_refresh(name, mtype, ckpt_url, cfg_url):
+                # refresh the category dropdowns so the just-added model is
+                # selectable without a restart (reference gui.py:1352)
+                msg = add_custom(name, mtype, ckpt_url, cfg_url)
+                cats = gr.update(choices=_categories())
+                return msg, cats, cats, cats
+
+            cm_btn.click(add_custom_and_refresh,
+                         [cm_name, cm_type, cm_ckpt, cm_cfg],
+                         [cm_status, category, ae_category, bp_category])
 
     return app

@@ -9,8 +9,25 @@ from __future__ import annotations
 
 import json
 import os
-from locale import getdefaultlocale
 from pathlib import Path
+
+
+def _default_locale() -> str:
+    """locale.getdefaultlocale is deprecated (removal slated for 3.15);
+    use getlocale with env-var fallbacks instead."""
+    import locale
+
+    try:
+        lang = locale.getlocale()[0]
+    except Exception:
+        lang = None
+    if not lang:
+        for var in ("LC_ALL", "LC_MESSAGES", "LANG"):
+            v = os.environ.get(var)
+            if v and v not in ("C", "POSIX"):
+                lang = v.split(".")[0]
+                break
+    return lang or "en_US"
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 LANGUAGE_PATH = os.path.join(_HERE, "assets", "i18n", "languages")
@@ -31,11 +48,12 @@ class I18nAuto:
 
         self.language = lang_prefix
         if not override:
-            try:
-                language = language or (getdefaultlocale()[0] or "en_US")
-            except Exception:
-                language = "en_US"
+            language = language or _default_locale()
             prefix = language[:2].lower() if language else "en"
+            if prefix == "zh":
+                # the Chinese table ships under the upstream filename typo
+                # 'zn_cn.json' (carried for data parity) — map zh_* to it
+                prefix = "zn"
             available = self.available_languages()
             matching = [l for l in available if l.startswith(prefix)]
             self.language = matching[0] if matching else "en_us"

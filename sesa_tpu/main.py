@@ -29,18 +29,39 @@ def start_gradio(port: int, share: bool = True):
 
 
 def start_localtunnel(port: int):
+    """Gradio in the FOREGROUND, the tunnel in the background (reference
+    main.py): a tunnel blip or a missing npx must not take down a working
+    local UI."""
     from sesa_tpu.gui import create_interface
 
     app = create_interface()
-    threading.Thread(
-        target=lambda: app.launch(server_port=port, server_name="0.0.0.0"),
-        daemon=True,
-    ).start()
-    time.sleep(5)
-    p = subprocess.Popen(["npx", "localtunnel", "--port", str(port)],
-                         stdout=subprocess.PIPE, text=True)
-    for line in p.stdout:
-        print(line, end="", flush=True)
+
+    def tunnel():
+        time.sleep(5)  # let gradio bind the port first
+        try:
+            # the localtunnel URL asks for a password = the public IP;
+            # print it like the reference launcher does
+            try:
+                import urllib.request
+
+                ip = urllib.request.urlopen(
+                    "https://ipv4.icanhazip.com", timeout=10).read().decode().strip()
+                print(f"localtunnel password (your public IP): {ip}", flush=True)
+            except Exception:
+                pass
+            p = subprocess.Popen(["npx", "localtunnel", "--port", str(port)],
+                                 stdout=subprocess.PIPE, text=True)
+            for line in p.stdout:
+                print(line, end="", flush=True)
+        except FileNotFoundError:
+            print("localtunnel requires npx (Node.js); serving locally only",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"localtunnel failed ({e}); serving locally only",
+                  file=sys.stderr)
+
+    threading.Thread(target=tunnel, daemon=True).start()
+    app.launch(server_port=port, server_name="0.0.0.0")
 
 
 def start_ngrok(port: int, token: str):
