@@ -38,22 +38,19 @@ def merge_lora(
             continue
         w = np.asarray(merged[wkey], dtype=np.float32)
 
-        rank = r or (a.shape[0] if enable_lora is None
-                     else a.shape[0] // sum(enable_lora))
+        n_en = sum(enable_lora) if enable_lora else 1
+        rank = r or a.shape[0] // n_en
         scaling = lora_alpha / rank
 
-        if enable_lora is None or all(enable_lora):
-            delta = (b @ a) * scaling  # (out, in)
-            if delta.shape != w.shape:
-                raise ValueError(f"LoRA delta shape {delta.shape} != {w.shape} for {prefix}")
-            merged[wkey] = w + delta
-        else:
-            # MergedLinear: the fused output dim is split into len(enable_lora)
-            # equal blocks; only enabled blocks receive deltas
+        if enable_lora is not None and len(enable_lora) > 1:
+            # MergedLinear (any enable pattern, incl. all-True): loralib
+            # stacks A as (n_en*r, in) and B as (n_en*block, r); the fused
+            # output dim splits into len(enable_lora) equal blocks and
+            # only enabled blocks receive deltas. A plain b @ a would be
+            # dimensionally invalid here even when every block is enabled.
             n_blocks = len(enable_lora)
             out_dim = w.shape[0]
             block = out_dim // n_blocks
-            n_en = sum(enable_lora)
             a_blocks = a.reshape(n_en, rank, -1)
             b_blocks = b.reshape(n_en, block, rank)
             w = w.copy()
@@ -65,6 +62,33 @@ def merge_lora(
                 w[blk * block : (blk + 1) * block] += delta
                 bi += 1
             merged[wkey] = w
+        else:
+            if b.shape[1] != a.shape[0] or (b.shape[0], a.shape[1]) != w.shape:
+                raise ValueError(
+                    f"LoRA pair shapes A{a.shape} / B{b.shape} do not form "
+                    f"a {w.shape} delta for {prefix}: the adapter looks "
+                    "like a MergedLinear checkpoint — pass the config's "
+                    "lora section (r/lora_alpha/enable_lora) so the blocks "
+                    "can be routed correctly")
+            delta = (b @ a) * scaling  # (out, in)
+            if delta.shape != w.shape:
+                raise ValueError(
+                    f"LoRA delta shape {delta.shape} != {w.shape} for "
+                    f"{prefix}: the adapter looks like a MergedLinear "
+                    "checkpoint — pass the config's lora section "
+                    "(r/lora_alpha/enable_lora) so the blocks can be "
+                    "routed correctly")
+            merged[wkey] = w + delta
+
+    # the reference loads the adapter non-strictly into the model
+    # (utils.py:581-582, strict=False): every OTHER matching tensor in the
+    # adapter file (biases with lora bias modes, fine-tuned norms/heads)
+    # overrides the base value too
+    for key, value in lora.items():
+        if key.endswith((".lora_A", ".lora_B")):
+            continue
+        if key in merged:
+            merged[key] = value
     return merged
 
 

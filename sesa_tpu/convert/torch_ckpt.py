@@ -55,7 +55,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         if k.startswith("module."):
             k = k[len("module."):]
         t = v.detach()
-        if t.dtype in (getattr(__import__("torch"), "bfloat16"),):
+        if t.dtype == torch.bfloat16:
             t = t.float()
         out[k] = t.numpy()
     return out

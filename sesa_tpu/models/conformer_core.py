@@ -110,7 +110,11 @@ def _attn_apply(p, x, heads, precision):
     # dist[i, j] = i - j — the table is learned and non-symmetric, so the
     # sign convention matters for real checkpoints)
     seq = np.arange(n)
-    dist = np.clip(seq[:, None] - seq[None, :], -_MAX_POS_EMB, _MAX_POS_EMB) + _MAX_POS_EMB
+    # derive max_pos from the checkpoint's own table (a non-default
+    # max_pos_emb would otherwise silently clamp to the wrong edge; the
+    # fused kernel already derives it the same way)
+    max_pos = (p["rel_pos_emb"].shape[0] - 1) // 2
+    dist = np.clip(seq[:, None] - seq[None, :], -max_pos, max_pos) + max_pos
     rel = jnp.take(p["rel_pos_emb"], jnp.asarray(dist, dtype=jnp.int32), axis=0)  # (n, n, dh)
     pos_attn = jnp.einsum("bhnd,nrd->bhnr", q, rel, precision=precision) * scale
 

@@ -679,13 +679,15 @@ def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
     if heads * dim_head > 1024 or dim_head % 8:
         return False
     # VMEM estimate: resident weights (qkv + out projections, bf16) +
-    # one sequence's qkv scratch + attn-out scratch + f32 score tile;
+    # gb sequences of qkv/attn-out scratch (the kernel batches
+    # gb = min(4, 1024//sp) sequences per program) + an f32 score tile;
     # shapes past the budget fall back instead of failing Mosaic compile
-    sp = seq + ((-seq) % 8)
+    sp = seq + ((-seq) % 64)  # kernel pads to 64 lanes
+    gb = min(4, max(1, 1024 // sp))
     d_attn = heads * dim_head
     d_model = dim or d_attn
     weights = (d_model * 3 * d_attn + d_attn * d_model) * 2
-    scratch = sp * 3 * d_attn * 2 + sp * d_attn * 2 + sp * sp * 4
+    scratch = gb * sp * (3 * d_attn + d_attn) * 2 + sp * sp * 4
     if weights + scratch > _VMEM_BUDGET:
         return False
     if dim % 64:  # keep model-dim lanes MXU-tileable; odd dims fall back

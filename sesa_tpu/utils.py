@@ -68,7 +68,14 @@ def load_start_checkpoint(bundle: ModelBundle, checkpoint_path: str,
     if lora_checkpoint:
         from sesa_tpu.convert.lora import load_with_lora
 
-        sd = load_with_lora(checkpoint_path, lora_checkpoint)
+        # the reference builds MergedLinear(**config['lora']) — the same
+        # section drives the merge scaling and block routing here
+        cfg = (bundle.config.to_dict() if hasattr(bundle.config, "to_dict")
+               else dict(bundle.config))
+        lora_cfg = dict(cfg.get("lora", {}) or {})
+        kwargs = {k: lora_cfg[k] for k in ("r", "lora_alpha", "enable_lora")
+                  if k in lora_cfg}
+        sd = load_with_lora(checkpoint_path, lora_checkpoint, **kwargs)
     else:
         sd = load_torch_state_dict(checkpoint_path)
     bundle.params = convert_checkpoint(bundle.model_type, sd, bundle.config)

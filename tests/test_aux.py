@@ -30,6 +30,45 @@ def test_merge_lora_partial_blocks():
     assert not np.allclose(out[8:], w[8:])
 
 
+def test_merge_lora_all_enabled_merged_linear():
+    """MergedLinear with every block enabled still stores A/B in the
+    stacked per-block layout — a plain b @ a is dimensionally invalid, so
+    the per-block path must route it (review regression)."""
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((12, 4)).astype(np.float32)  # 3 blocks of 4
+    a = rng.standard_normal((6, 4)).astype(np.float32)   # 3 enabled * r=2
+    b = rng.standard_normal((12, 2)).astype(np.float32)  # 3 enabled * block 4
+    merged = merge_lora({"qkv.weight": w},
+                        {"qkv.lora_A": a, "qkv.lora_B": b},
+                        r=2, lora_alpha=4, enable_lora=[True, True, True])
+    out = merged["qkv.weight"]
+    for blk in range(3):
+        delta = (b[blk * 4:(blk + 1) * 4] @ a[blk * 2:(blk + 1) * 2]) * 2.0
+        np.testing.assert_allclose(out[blk * 4:(blk + 1) * 4],
+                                   w[blk * 4:(blk + 1) * 4] + delta, atol=1e-6)
+
+
+def test_merge_lora_applies_non_lora_adapter_keys():
+    """Reference loads adapters non-strictly (utils.py:581-582): biases or
+    fine-tuned norms saved alongside lora_A/lora_B must override base."""
+    w = np.zeros((4, 4), dtype=np.float32)
+    norm = np.ones((4,), dtype=np.float32)
+    new_norm = np.full((4,), 2.0, dtype=np.float32)
+    merged = merge_lora({"lin.weight": w, "norm.weight": norm},
+                        {"norm.weight": new_norm})
+    np.testing.assert_array_equal(merged["norm.weight"], new_norm)
+
+
+def test_merge_lora_shape_mismatch_is_typed():
+    import pytest
+
+    w = np.zeros((12, 4), dtype=np.float32)
+    a = np.zeros((4, 4), dtype=np.float32)   # looks like 2-block MergedLinear
+    b = np.zeros((8, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="MergedLinear"):
+        merge_lora({"qkv.weight": w}, {"qkv.lora_A": a, "qkv.lora_B": b})
+
+
 def test_throughput_tracker():
     t = ThroughputTracker(sample_rate=44100)
     t.update(samples=44100 * 10, chunks=5)
