@@ -108,8 +108,7 @@ def write_audio(path: str, audio: np.ndarray, sr: int, subtype: str = "FLOAT") -
         elif subtype == "PCM_24":
             w.setsampwidth(3)
             as_int = (clipped * 8388607.0).astype("<i4")
-            raw = as_int.astype("<i4").tobytes()
-            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+            b = np.frombuffer(as_int.tobytes(), dtype=np.uint8).reshape(-1, 4)
             w.writeframes(b[:, :3].tobytes())
         else:
             raise ValueError(f"unknown subtype {subtype}")
@@ -148,11 +147,16 @@ class AudioReader:
                 fr = ctypes.c_int64()
                 if lib.sesa_wav_info(path.encode(), ctypes.byref(ch),
                                      ctypes.byref(sr), ctypes.byref(fr)) == 0:
-                    self._native = True
-                    self.channels = ch.value
-                    self.samplerate = sr.value
-                    self.frames = fr.value
-                    return
+                    # the header can parse for formats the decoder does not
+                    # support (8-bit, ALAW/ADPCM): probe one frame before
+                    # claiming the native backend
+                    if fr.value > 0 and _native_mod.wav_read_at(
+                            path, 0, 1, ch.value) is not None:
+                        self._native = True
+                        self.channels = ch.value
+                        self.samplerate = sr.value
+                        self.frames = fr.value
+                        return
         data, sr = read_audio(path)
         self._data = data
         self.samplerate = sr
@@ -169,6 +173,14 @@ class AudioReader:
             from sesa_tpu import native as _native_mod
 
             out = _native_mod.wav_read_at(self._path, self._pos, n, self.channels)
+            if out is None:
+                # mid-stream native failure (e.g. truncated file): degrade
+                # to the whole-file fallback rather than crash the stream
+                self._native = False
+                self._data, _ = read_audio(self._path)
+                self.frames = min(self.frames, self._data.shape[1])
+                n = max(0, min(n, self.frames - self._pos))
+                out = self._data[:, self._pos : self._pos + n]
         else:
             out = self._data[:, self._pos : self._pos + n]
         self._pos += out.shape[1]
@@ -205,7 +217,15 @@ class AudioWriter:
             self.path = path = os.path.splitext(path)[0] + ".wav"
         from sesa_tpu import native as _native_mod
 
-        self._native = _native_mod.WavWriter(path, sr, channels, subtype=subtype)
+        try:
+            self._native = _native_mod.WavWriter(path, sr, channels,
+                                                 subtype=subtype)
+        except OSError:
+            # no soundfile AND no toolchain: stdlib streaming PCM writer
+            # (FLOAT coerces to PCM_24 — the wave module is PCM-only)
+            self._native = _StdlibWavWriter(
+                path, sr, channels,
+                "PCM_24" if subtype == "FLOAT" else subtype)
 
     def write(self, audio: np.ndarray) -> None:
         if self._sf is not None:
@@ -220,6 +240,46 @@ class AudioWriter:
         elif self._native is not None:
             self._native.close()
             self._native = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _StdlibWavWriter:
+    """Streaming PCM WAV writer on the stdlib wave module (last-resort
+    backend for AudioWriter when both soundfile and the native codec are
+    unavailable; same encodings as write_audio's fallback)."""
+
+    def __init__(self, path: str, sr: int, channels: int, subtype: str):
+        if subtype not in ("PCM_16", "PCM_24"):
+            raise ValueError(f"unsupported stdlib wav subtype {subtype}")
+        self._subtype = subtype
+        self._channels = channels
+        self._w = wave.open(path, "wb")
+        self._w.setnchannels(channels)
+        self._w.setframerate(sr)
+        self._w.setsampwidth(2 if subtype == "PCM_16" else 3)
+
+    def write(self, audio: np.ndarray) -> None:
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim != 2 or audio.shape[0] != self._channels:
+            raise ValueError(
+                f"expected ({self._channels}, frames) audio, got {audio.shape}")
+        data = np.clip(audio.T, -1.0, 1.0)
+        if self._subtype == "PCM_16":
+            self._w.writeframes((data * 32767.0).astype("<i2").tobytes())
+        else:
+            as_int = (data * 8388607.0).astype("<i4")
+            b = np.frombuffer(as_int.tobytes(), dtype=np.uint8).reshape(-1, 4)
+            self._w.writeframes(b[:, :3].tobytes())
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+            self._w = None
 
     def __enter__(self):
         return self

@@ -106,11 +106,13 @@ def chunk_median_signal_ratio(func: Callable, preds, target, window_size: int,
         v = np.asarray(func(preds[..., start:start + window_size],
                             target[..., start:start + window_size]),
                        dtype=np.float64)
-        if np.all(np.isfinite(v)):
-            vals.append(v)
+        # drop non-finite values PER BATCH ELEMENT (nanmedian's job) — a
+        # whole-chunk drop would discard other elements' valid values
+        vals.append(np.where(np.isfinite(v), v, np.nan))
     if not vals:
         return float("nan")
-    per_batch = np.nanmedian(np.stack(vals, axis=-1), axis=-1)
+    with np.errstate(invalid="ignore"):
+        per_batch = np.nanmedian(np.stack(vals, axis=-1), axis=-1)
     return float(np.mean(per_batch))
 
 

@@ -28,8 +28,12 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        # a prebuilt .so without the source must remain usable: only
+        # consult the source mtime when the source actually exists
+        need_build = not os.path.exists(_LIB)
+        if not need_build and os.path.exists(_SRC):
+            need_build = os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        if need_build:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
                 check=True, capture_output=True,
@@ -125,6 +129,7 @@ class WavWriter:
         if lib is None or subtype not in _SUBTYPES:
             raise OSError("native wav writer unavailable")
         self._lib = lib
+        self._channels = channels
         self._h = lib.sesa_wav_writer_open(path.encode(), channels, sr,
                                            _SUBTYPES[subtype])
         if not self._h:
@@ -133,6 +138,12 @@ class WavWriter:
     def write(self, audio: np.ndarray) -> None:
         """audio: (channels, frames) float32."""
         audio = np.ascontiguousarray(audio, dtype=np.float32)
+        # the C interleave loop reads channels*frames floats: a shape
+        # mismatch would be an out-of-bounds read, so validate here
+        if audio.ndim != 2 or audio.shape[0] != self._channels:
+            raise ValueError(
+                f"expected ({self._channels}, frames) audio, got "
+                f"{audio.shape}")
         rc = self._lib.sesa_wav_writer_write(
             self._h, audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             audio.shape[1])

@@ -135,10 +135,21 @@ class InferenceSession:
         dtype = self.compute_dtype
         stems = self.spec.num_stems
 
+        # signature inspection, NOT try/except TypeError: an exception
+        # raised inside a dtype-aware apply must surface, not silently
+        # re-trace the model at default precision
+        import inspect
+
+        try:
+            accepts_dtype = "compute_dtype" in inspect.signature(
+                model.apply).parameters
+        except (TypeError, ValueError):
+            accepts_dtype = False
+
         def apply_fn(params, chunks):
-            try:
+            if accepts_dtype:
                 out = model.apply(params, config, chunks, compute_dtype=dtype)
-            except TypeError:
+            else:
                 out = model.apply(params, config, chunks)
             if out.ndim == 3:  # single-stem models may squeeze
                 out = out[:, None]

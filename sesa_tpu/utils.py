@@ -40,11 +40,23 @@ class ModelBundle:
         return self.params
 
     def __call__(self, chunks, compute_dtype=None):
-        try:
+        # signature inspection, NOT try/except TypeError: an exception
+        # raised inside a dtype-aware apply must surface, not silently
+        # re-run the model at default precision
+        import inspect
+
+        accepts = getattr(self.module, "_accepts_compute_dtype", None)
+        if accepts is None:
+            try:
+                accepts = "compute_dtype" in inspect.signature(
+                    self.module.apply).parameters
+            except (TypeError, ValueError):
+                accepts = False
+            self.module._accepts_compute_dtype = accepts
+        if accepts:
             return self.module.apply(self.params, self.config, chunks,
                                      compute_dtype=compute_dtype)
-        except TypeError:
-            return self.module.apply(self.params, self.config, chunks)
+        return self.module.apply(self.params, self.config, chunks)
 
 
 def get_model_from_config(model_type: str, config_path: str) -> Tuple[ModelBundle, object]:
