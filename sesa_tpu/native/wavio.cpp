@@ -132,28 +132,11 @@ int sesa_wav_info(const char* path, int32_t* channels, int32_t* sample_rate,
                   int64_t* frames) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    RiffHeader rh;
-    if (std::fread(&rh, sizeof(rh), 1, f) != 1 ||
-        std::memcmp(rh.riff, "RIFF", 4) || std::memcmp(rh.wave, "WAVE", 4)) {
-        std::fclose(f);
-        return -2;
-    }
     FmtChunk fmt{};
     uint32_t data_size = 0;
-    ChunkHeader ch;
-    while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
-        if (!std::memcmp(ch.id, "fmt ", 4)) {
-            uint32_t n = ch.size < sizeof(fmt) ? ch.size : sizeof(fmt);
-            if (std::fread(&fmt, n, 1, f) != 1) { std::fclose(f); return -3; }
-            if (ch.size > n) std::fseek(f, ch.size - n, SEEK_CUR);
-        } else if (!std::memcmp(ch.id, "data", 4)) {
-            data_size = ch.size;
-            break;
-        } else {
-            std::fseek(f, (ch.size + 1) & ~1u, SEEK_CUR);
-        }
-    }
+    int rc = parse_header(f, &fmt, &data_size);
     std::fclose(f);
+    if (rc != 0) return rc;
     if (!fmt.channels || !fmt.bits || !data_size) return -4;
     *channels = fmt.channels;
     *sample_rate = (int32_t)fmt.sample_rate;
@@ -165,23 +148,10 @@ int sesa_wav_info(const char* path, int32_t* channels, int32_t* sample_rate,
 int sesa_wav_read(const char* path, float* out, int64_t max_frames) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
-    RiffHeader rh;
-    if (std::fread(&rh, sizeof(rh), 1, f) != 1) { std::fclose(f); return -2; }
     FmtChunk fmt{};
     uint32_t data_size = 0;
-    ChunkHeader ch;
-    while (std::fread(&ch, sizeof(ch), 1, f) == 1) {
-        if (!std::memcmp(ch.id, "fmt ", 4)) {
-            uint32_t n = ch.size < sizeof(fmt) ? ch.size : sizeof(fmt);
-            if (std::fread(&fmt, n, 1, f) != 1) { std::fclose(f); return -3; }
-            if (ch.size > n) std::fseek(f, ch.size - n, SEEK_CUR);
-        } else if (!std::memcmp(ch.id, "data", 4)) {
-            data_size = ch.size;
-            break;
-        } else {
-            std::fseek(f, (ch.size + 1) & ~1u, SEEK_CUR);
-        }
-    }
+    int rc = parse_header(f, &fmt, &data_size);
+    if (rc != 0) { std::fclose(f); return rc; }
     if (!data_size) { std::fclose(f); return -4; }
 
     const int chn = fmt.channels;
@@ -195,31 +165,7 @@ int sesa_wav_read(const char* path, float* out, int64_t max_frames) {
         return -5;
     }
     std::fclose(f);
-
-    // de-interleave + convert to channel-major float32
-    for (int c = 0; c < chn; ++c) {
-        float* dst = out + (size_t)c * frames;
-        if (fmt.format == 3 && fmt.bits == 32) {
-            const float* src = reinterpret_cast<const float*>(raw.data());
-            for (int64_t i = 0; i < frames; ++i) dst[i] = src[i * chn + c];
-        } else if (fmt.bits == 16) {
-            const int16_t* src = reinterpret_cast<const int16_t*>(raw.data());
-            for (int64_t i = 0; i < frames; ++i) dst[i] = src[i * chn + c] * kInv16;
-        } else if (fmt.bits == 24) {
-            const uint8_t* src = raw.data();
-            for (int64_t i = 0; i < frames; ++i) {
-                const uint8_t* p = src + ((size_t)i * chn + c) * 3;
-                int32_t v = (int32_t)((uint32_t)p[0] << 8 | (uint32_t)p[1] << 16 |
-                                      (uint32_t)p[2] << 24) >> 8;
-                dst[i] = v * kInv24;
-            }
-        } else if (fmt.bits == 32 && fmt.format == 1) {
-            const int32_t* src = reinterpret_cast<const int32_t*>(raw.data());
-            for (int64_t i = 0; i < frames; ++i) dst[i] = src[i * chn + c] * kInv32;
-        } else {
-            return -6;
-        }
-    }
+    if (deinterleave(raw.data(), out, fmt, frames) != 0) return -6;
     return (int)chn;
 }
 
@@ -252,26 +198,7 @@ int sesa_wav_write(const char* path, const float* data, int32_t channels,
     std::fwrite(&data_h, sizeof(data_h), 1, f);
 
     std::vector<uint8_t> raw((size_t)frames * channels * bytes);
-    for (int c = 0; c < channels; ++c) {
-        const float* src = data + (size_t)c * frames;
-        if (subtype == 0) {
-            float* dst = reinterpret_cast<float*>(raw.data());
-            for (int64_t i = 0; i < frames; ++i) dst[i * channels + c] = src[i];
-        } else if (subtype == 1) {
-            int16_t* dst = reinterpret_cast<int16_t*>(raw.data());
-            for (int64_t i = 0; i < frames; ++i)
-                dst[i * channels + c] = (int16_t)(clip1(src[i]) * 32767.0f);
-        } else {
-            uint8_t* dst = raw.data();
-            for (int64_t i = 0; i < frames; ++i) {
-                int32_t v = (int32_t)(clip1(src[i]) * 8388607.0f);
-                uint8_t* p = dst + ((size_t)i * channels + c) * 3;
-                p[0] = (uint8_t)(v & 0xff);
-                p[1] = (uint8_t)((v >> 8) & 0xff);
-                p[2] = (uint8_t)((v >> 16) & 0xff);
-            }
-        }
-    }
+    interleave(data, raw.data(), channels, frames, subtype);
     std::fwrite(raw.data(), 1, raw.size(), f);
     std::fclose(f);
     return 0;
