@@ -68,3 +68,44 @@ def test_apollo_style_config(tmp_path):
     mix = np.random.default_rng(4).standard_normal((1, 12000)).astype(np.float32) * 0.2
     out = s.separate(mix)
     assert out["restored"].shape == (1, 12000)
+
+
+def test_bf16_rescue_retries_in_f32(monkeypatch):
+    """A model that emits non-finite output under a reduced compute dtype
+    must trigger the session's f32 retry (runtime fallback, analog of the
+    reference's compiled->eager rescue, pytorch_backend.py:315-332) and
+    return finite audio; the finalize math must not scrub the NaN before
+    the session can see it."""
+    import types
+
+    import jax.numpy as jnp
+    from ml_collections import ConfigDict
+
+    from sesa_tpu.runtime import session as sess_mod
+    from sesa_tpu.runtime.session import DemixSpec, InferenceSession
+
+    calls = {"bf16": 0, "f32": 0}
+
+    def apply(params, config, chunks, compute_dtype=None):
+        out = jnp.tile(chunks[:, None], (1, 1, 1, 1)).astype(jnp.float32)
+        if compute_dtype is not None:
+            calls["bf16"] += 1
+            return out.at[:, :, :, 0].set(jnp.nan)
+        calls["f32"] += 1
+        return out
+
+    fake = types.SimpleNamespace(apply=apply)
+    monkeypatch.setattr(sess_mod, "get_model", lambda mt: fake)
+
+    config = ConfigDict({"training": {"target_instrument": "vocals",
+                                      "instruments": ["vocals", "other"]},
+                         "audio": {"sample_rate": 44100, "num_channels": 2},
+                         "inference": {}})
+    spec = DemixSpec(chunk_size=4096, num_overlap=2, batch_size=2, num_stems=1)
+    s = InferenceSession("fake", config, params={}, spec=spec,
+                         compute_dtype=jnp.bfloat16)
+    mix = np.random.default_rng(0).standard_normal((2, 10000)).astype(np.float32) * 0.2
+    stems = s.separate(mix)
+    assert calls["bf16"] >= 1 and calls["f32"] >= 1, calls
+    assert np.isfinite(stems["vocals"]).all()
+    assert s.compute_dtype is None  # session stays rescued
