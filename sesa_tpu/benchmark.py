@@ -61,6 +61,9 @@ def run_mode(model_type, config_path, ckpt, mode, iters=10, chunk_size=None,
     for _ in range(2):
         out = fn(session.params, x)
     float(jnp.abs(out).sum())
+    # perturb x BEFORE the timed loop: its first dispatch must differ from
+    # the warmup dispatches or the relay can replay it for free
+    x = x + out[:, 0] * 1e-6
 
     t0 = time.time()
     for _ in range(iters):
@@ -68,7 +71,7 @@ def run_mode(model_type, config_path, ckpt, mode, iters=10, chunk_size=None,
         x = x + out[:, 0] * 1e-6  # chain iterations so none can be replayed
     float(jnp.abs(out).sum())
     ms = (time.time() - t0) / iters * 1000
-    audio_s = batch_size * chunk / 44100.0
+    audio_s = batch_size * chunk / float(session.sample_rate)
     return {"mode": mode, "ms_per_iter": ms, "compile_s": compile_s,
             "rtf": audio_s / (ms / 1000), "output": np.asarray(out)}
 

@@ -21,7 +21,8 @@ def cache_dir() -> str:
     if env:
         return env
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if os.path.isdir(os.path.join(repo, ".git")) or os.path.isdir(
+    # .git is a FILE in worktree/submodule checkouts — exists, not isdir
+    if os.path.exists(os.path.join(repo, ".git")) or os.path.isdir(
             os.path.join(repo, ".jax_cache")):
         return os.path.join(repo, ".jax_cache")
     return os.path.expanduser("~/.cache/sesa_tpu/jax")

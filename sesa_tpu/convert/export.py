@@ -23,11 +23,11 @@ def export_model(model_type: str, config, params, chunk_size: int,
     def fn(p, chunks):
         return model.apply(p, config, chunks)
 
-    args = (params, jax.ShapeDtypeStruct((batch_size, num_channels, chunk_size),
-                                         jnp.float32))
+    chunks_spec = jax.ShapeDtypeStruct((batch_size, num_channels, chunk_size),
+                                       jnp.float32)
     exported = jexport.export(jax.jit(fn))(
         jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params),
-        args[1],
+        chunks_spec,
     )
     blob = bytes(exported.serialize())
     if path:

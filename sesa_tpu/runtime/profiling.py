@@ -69,8 +69,10 @@ def device_trace(log_dir: str):
     """Capture a device profile around a block (view with tensorboard/xprof)."""
     import jax
 
+    # start OUTSIDE the try: if start_trace itself raises (e.g. a trace is
+    # already active), stopping here would finalize the OUTER trace
+    jax.profiler.start_trace(log_dir)
     try:
-        jax.profiler.start_trace(log_dir)
         yield
     finally:
         try:

@@ -43,7 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    enable_persistent_cache()
+    if not enable_persistent_cache():
+        print("[warmup] WARNING: persistent compilation cache could not be "
+              "enabled — executables will only be cached in-process",
+              file=sys.stderr, flush=True)
 
     import jax.numpy as jnp
 
@@ -56,10 +59,15 @@ def main(argv=None) -> int:
         batch_size=args.batch_size or None,
         compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
     )
-    sr = 44100
+    sr = session.sample_rate  # bucket lengths must match real-run lengths
+    rng = np.random.default_rng(0)
     for seconds in args.song_seconds:
-        mix = np.zeros((session.spec.num_channels, seconds * sr),
-                       dtype=np.float32)
+        # low-amplitude noise, NOT zeros: a zero mix has std 0, so
+        # normalize-enabled configs would divide by zero on device, the
+        # NaN output would falsely trigger the bf16->f32 rescue, and the
+        # rest of the warmup would compile the WRONG (f32) executables
+        mix = (0.01 * rng.standard_normal(
+            (session.spec.num_channels, seconds * sr))).astype(np.float32)
         t0 = time.time()
         session.separate(mix, use_tta=args.use_tta)
         print(f"[warmup] {args.model_type} {seconds}s: "
