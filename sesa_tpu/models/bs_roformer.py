@@ -321,13 +321,15 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
     store = []
     time_v_res = freq_v_res = None
     for layer in (() if use_scan else params["layers"]):
-        if spec.skip_connection and store:
-            xb = xb + sum(store)
+        # reference order (bs_roformer.py:510-524): the linear transformer
+        # runs FIRST, then the skip sums are added
         if "linear" in layer:
             z = xb.reshape(-1, tf * nb, spec.dim)
             z = core.transformer_apply(layer["linear"], z, spec.heads,
                                        linear_attn=True, precision=precision)
             xb = z.reshape(-1, tf, nb, spec.dim)
+        if spec.skip_connection and store:
+            xb = xb + sum(store)
         # time transformer: sequence axis = frames
         z = jnp.transpose(xb, (0, 2, 1, 3))  # (B, NB, Tf, D)
         if vr_forward:
@@ -378,10 +380,14 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
     out = out.reshape(b, nstems, tf, spec.num_freqs, ch, 2)
     out = jnp.transpose(out, (0, 1, 4, 3, 2, 5))
 
-    # bs_roformer always passes the input length to istft; mel only when
-    # match_input_audio_length is set — but chunk lengths are hop-aligned in
-    # practice (hop*(frames-1) == T), so pad/crop to T keeps demix shapes
-    # static either way and is numerically identical on aligned chunks.
+    # bs_roformer always passes the input length to istft; the mel variant
+    # only when match_input_audio_length is set (the spec accepts the knob
+    # because real mel YAMLs carry it). We always reconstruct to T: on
+    # hop-aligned chunks (hop*(frames-1) == T, which demix guarantees) the
+    # two behaviors are numerically identical, and on misaligned inputs the
+    # reference returns hop*(frames-1) samples — a shape its own demix
+    # accumulator cannot even consume — so a fixed-T output is the only
+    # semantics that composes, and it keeps demix shapes static.
     wav = istft_ri(
         out, spec.stft_n_fft, spec.stft_hop_length, window,
         win_length=spec.stft_win_length, normalized=spec.stft_normalized,
@@ -500,7 +506,13 @@ def convert_from_spec(state_dict, spec: RoformerSpec,
     def rope_freqs(legacy_key, j):
         if legacy_key in sd:
             return take(legacy_key)
-        return take(f"layers.0.{j}.layers.0.0.rotary_embed.freqs")
+        key = f"layers.0.{j}.layers.0.0.rotary_embed.freqs"
+        if key in sd:
+            return take(key)
+        # num_residual_streams > 1: the hyper-connections wrapper nests the
+        # attention under '.branch' (reference bs_roformer_experimental.py
+        # init_hyper_conn(branch=Attention(...)))
+        return take(f"layers.0.{j}.layers.0.0.branch.rotary_embed.freqs")
 
     params = {
         "band_split": {"groups": bs_groups},

@@ -30,28 +30,34 @@ class UnsupportedCustomArchitecture(NotImplementedError):
     """A custom config uses architecture knobs the declarative spec lacks."""
 
 
-def _guarded(fn, config, *args, **kwargs):
+def _check_spec(config):
+    """Validate ONLY the spec construction: an unknown-architecture knob
+    raises the dataclass ctor's TypeError here; runtime TypeErrors inside
+    the model itself must surface unchanged, not be mislabeled as an
+    unsupported architecture."""
     try:
-        return fn(*args, **kwargs)
+        _exp._spec(config)
     except TypeError as e:
-        known = str(e)
         raise UnsupportedCustomArchitecture(
             "This bs_roformer_custom config is outside the declarative "
             "experimental-roformer space (value residual + hyper-connections). "
-            f"Spec error: {known}. Downloaded model code is never executed; "
+            f"Spec error: {e}. Downloaded model code is never executed; "
             "add the missing architecture option to "
             "sesa_tpu/models/bs_roformer_experimental.py instead."
         ) from e
 
 
 def init(rng, config):
-    return _guarded(_exp.init, config, rng, config)
+    _check_spec(config)
+    return _exp.init(rng, config)
 
 
 def apply(params, config, x, precision=None, compute_dtype=None):
-    return _guarded(_exp.apply, config, params, config, x,
-                    precision=precision, compute_dtype=compute_dtype)
+    _check_spec(config)
+    return _exp.apply(params, config, x,
+                      precision=precision, compute_dtype=compute_dtype)
 
 
 def convert_torch(state_dict, config):
-    return _guarded(_exp.convert_torch, config, state_dict, config)
+    _check_spec(config)
+    return _exp.convert_torch(state_dict, config)

@@ -76,21 +76,27 @@ def _hc_norm(x, gamma):
     return n * scale * (gamma + 1.0)
 
 
-def hc_width(p, x: jax.Array, streams: int):
-    """x ((b s), n, d) -> branch_in (b, n, d), residuals (b, n, s, d), beta."""
+def hc_width(p, x: jax.Array, streams: int, precision=None):
+    """x ((b s), n, d) -> branch_in (b, n, d), residuals (b, n, s, d), beta.
+
+    The mixing matmuls thread ``precision`` like every other matmul in the
+    family — the backend's DEFAULT matmul precision is bf16-level (see
+    ops/fft.py), which would silently degrade f32 parity runs on TPU."""
     bs, n, d = x.shape
     r = x.reshape(bs // streams, streams, n, d)
     r = jnp.transpose(r, (0, 2, 1, 3))  # (b, n, s, d)
     normed = _hc_norm(r, p["norm_gamma"])
     alpha = (
-        jnp.tanh(normed @ p["dynamic_alpha_fn"]) * p["dynamic_alpha_scale"]
+        jnp.tanh(jnp.matmul(normed, p["dynamic_alpha_fn"],
+                            precision=precision)) * p["dynamic_alpha_scale"]
         + p["static_alpha"]
     )  # (b, n, s, s+1)
     beta = (
-        jnp.tanh(normed @ p["dynamic_beta_fn"]) * p["dynamic_beta_scale"]
+        jnp.tanh(jnp.matmul(normed, p["dynamic_beta_fn"],
+                            precision=precision)) * p["dynamic_beta_scale"]
         + p["static_beta"]
     )  # (b, n, s)
-    mix = jnp.einsum("bnst,bnsd->bntd", alpha, r)
+    mix = jnp.einsum("bnst,bnsd->bntd", alpha, r, precision=precision)
     return mix[..., 0, :], mix[..., 1:, :], beta
 
 
@@ -101,9 +107,9 @@ def hc_depth(branch_out: jax.Array, residuals: jax.Array, beta: jax.Array):
     return jnp.transpose(r, (0, 2, 1, 3)).reshape(b * s, n, d)
 
 
-def hc_apply(p, x: jax.Array, streams: int, branch_fn):
+def hc_apply(p, x: jax.Array, streams: int, branch_fn, precision=None):
     """Full wrapper: branch_fn (b, n, d) -> (b, n, d) or (out, extras)."""
-    branch_in, residuals, beta = hc_width(p, x, streams)
+    branch_in, residuals, beta = hc_width(p, x, streams, precision=precision)
     out = branch_fn(branch_in)
     extras = None
     if isinstance(out, tuple):

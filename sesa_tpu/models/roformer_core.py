@@ -256,14 +256,17 @@ def transformer_apply_hc(params, x, heads, rope=None, value_residual=None,
         def ff_branch(bi, _pf=pf["branch"]):
             return ff_apply(_pf, bi, precision=precision)
 
-        out, next_values = HC.hc_apply(pa["hc"], xb, streams, attn_branch)
+        out, next_values = HC.hc_apply(pa["hc"], xb, streams, attn_branch,
+                                       precision=precision)
         if first_values is None:
             first_values = next_values
         if old_style:
             xb = out + xb
-            xb = HC.hc_apply(pf["hc"], xb, streams, ff_branch) + xb
+            xb = HC.hc_apply(pf["hc"], xb, streams, ff_branch,
+                             precision=precision) + xb
         else:
-            xb = HC.hc_apply(pf["hc"], out, streams, ff_branch)
+            xb = HC.hc_apply(pf["hc"], out, streams, ff_branch,
+                             precision=precision)
     xb = xb.reshape(lead + (n, dim))
     if "norm_gamma" in params:
         xb = rms_norm(xb, params["norm_gamma"])

@@ -225,14 +225,16 @@ def forward(sd, cfg, x, band_widths=None, freq_indices=None,
     time_v = freq_v = None
     for d in range(depth):
         j = 0
-        if skip_connection and store:
-            z = z + sum(store)
+        # reference order (bs_roformer.py:510-524): linear transformer
+        # FIRST, then the skip sums
         if l_depth > 0:
             zz = z.reshape(be, tf * nb, dim)
             zz = _transformer(sd, f"layers.{d}.{j}", zz, l_depth, heads,
                               norm_output=norm_output, linear_attn=True)
             z = zz.reshape(be, tf, nb, dim)
             j += 1
+        if skip_connection and store:
+            z = z + sum(store)
         zz = z.permute(0, 2, 1, 3).reshape(be * nb, tf, dim)
         if vr_forward:
             zz, ntv = _transformer_vr(sd, f"layers.{d}.{j}", zz, t_depth, heads,

@@ -157,6 +157,10 @@ def export_state_dict(params, spec, transformer_norm_output, final_norm):
         {},
         {"linear_transformer_depth": 1},
         {"skip_connection": True},
+        # the COMBINATION pins the reference's ordering (linear transformer
+        # first, THEN skip sums — bs_roformer.py:510-524); each flag alone
+        # cannot distinguish the two orders
+        {"linear_transformer_depth": 1, "skip_connection": True},
         {"stereo": False, "num_stems": 1},
         {"mask_estimator_depth": 1},
     ],
@@ -360,3 +364,37 @@ def test_band_plan_partition_coverage():
     plan = spec.band_plan()
     assert plan.num_bands == len(mcfg["freqs_per_bands"])
     np.testing.assert_array_equal(plan.coverage, np.ones(spec.num_features))
+
+
+def test_experimental_rope_freqs_from_branch_nested_keys():
+    """Real num_residual_streams>1 checkpoints carry rotary freqs ONLY at
+    layers.{d}.{j}.layers.{i}.0.branch.rotary_embed.freqs (the
+    hyper-connections wrapper nests the attention under .branch; reference
+    bs_roformer_experimental.py init_hyper_conn(branch=...)) — no legacy
+    top-level keys. The converter must find them there (regression: it
+    raised KeyError)."""
+    import dataclasses
+
+    from sesa_tpu.models import bs_roformer_experimental as exp
+
+    mcfg = bs_model_cfg(depth=2, use_value_residual_learning=True,
+                        num_residual_streams=4)
+    config = ConfigDict({"model": mcfg})
+    params = exp.init(jax.random.PRNGKey(6), config)
+    spec = dataclasses.replace(bs_roformer.spec_from_config(mcfg),
+                               experimental_forward=True)
+    sd = export_state_dict(params, spec, transformer_norm_output=False,
+                           final_norm=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    # rewrite to the real checkpoint layout: per-attention nested keys only
+    tfr = np.asarray(sd.pop("time_rotary_embed.freqs"))
+    ffr = np.asarray(sd.pop("freq_rotary_embed.freqs"))
+    for d in range(mcfg["depth"]):
+        for i in range(mcfg["time_transformer_depth"]):
+            sd[f"layers.{d}.0.layers.{i}.0.branch.rotary_embed.freqs"] = tfr
+        for i in range(mcfg["freq_transformer_depth"]):
+            sd[f"layers.{d}.1.layers.{i}.0.branch.rotary_embed.freqs"] = ffr
+
+    back = exp.convert_torch(sd, config)
+    np.testing.assert_allclose(np.asarray(back["rope_time_freqs"]), tfr)
+    np.testing.assert_allclose(np.asarray(back["rope_freq_freqs"]), ffr)
