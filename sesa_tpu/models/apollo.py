@@ -239,8 +239,7 @@ def apply(params, config, x, precision=None, compute_dtype=None):
     hl = (a * jax.nn.sigmoid(g)).reshape(b * ch, 2, band_width[-1], t)
 
     spec_out = jnp.concatenate(
-        [hu.reshape(b * ch, 79 * bw * 2, t).reshape(b * ch, 79, 2, bw, t)
-         .transpose(0, 2, 1, 3, 4).reshape(b * ch, 2, 79 * bw, t),
+        [hu.transpose(0, 2, 1, 3, 4).reshape(b * ch, 2, 79 * bw, t),
          hl],
         axis=2,
     )  # (B', 2, F, T)

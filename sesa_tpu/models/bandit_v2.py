@@ -78,6 +78,14 @@ def _kwargs(config):
               use_freq_weights=True, complex_mask=True)
     src = dict(config.kwargs) if hasattr(config, "kwargs") and config.kwargs else dict(config.model)
     kw.update({k: v for k, v in src.items() if k in kw})
+    if kw["in_channels"] != 1:
+        # apply() folds audio channels into the batch and treats the
+        # spectral channel axis as 1 throughout; accepting a different
+        # in_channels would initialize weights the forward cannot run
+        raise NotImplementedError(
+            f"bandit_v2 in_channels={kw['in_channels']} is not supported: "
+            "the port (like every released checkpoint) runs per-channel "
+            "with in_channels=1")
     return kw
 
 

@@ -349,12 +349,6 @@ def apply(params, config, x, variant="lstm", compute_dtype=None):
     if variant == "masked":
         z = z + params["pos_embed_f"][:, :, :fr, :]
 
-    rope_time = rope_freq = None
-    if variant == "tran":
-        from sesa_tpu.ops.rope import rope_tables
-
-        rope_time = rope_tables(params["rope_time_freqs"].astype(jnp.float32), t)
-        rope_freq = None  # band count varies per layer input; computed below
 
     skips, lens, olens = [], [], []
     for blk in params["encoder"]:
@@ -418,7 +412,14 @@ def apply(params, config, x, variant="lstm", compute_dtype=None):
 
     if variant == "masked":
         # predict a complex mask and apply it to the tiled mixture
-        # (reference scnet_masked.py:333-415)
+        # (reference scnet_masked.py:333-415); z was cast back to f32
+        # above, so the mask-head weights must follow (conv rejects
+        # mixed dtypes under a bf16 compute policy)
+        params = {**params,
+                  "mask_conv1": jax.tree.map(
+                      lambda a: a.astype(jnp.float32), params["mask_conv1"]),
+                  "mask_conv2": jax.tree.map(
+                      lambda a: a.astype(jnp.float32), params["mask_conv2"])}
         mask = L.conv2d(z, params["mask_conv1"]["weight"],
                         params["mask_conv1"]["bias"], padding=(1, 1))
         mask = jax.nn.gelu(mask, approximate=False)

@@ -14,8 +14,9 @@ def init(rng, config):
     return scnet.init(rng, config, variant="masked")
 
 
-def apply(params, config, x):
-    return scnet.apply(params, config, x, variant="masked")
+def apply(params, config, x, precision=None, compute_dtype=None):
+    return scnet.apply(params, config, x, variant="masked",
+                       compute_dtype=compute_dtype)
 
 
 def convert_torch(state_dict, config):

@@ -14,8 +14,9 @@ def init(rng, config):
     return scnet.init(rng, config, variant="tran")
 
 
-def apply(params, config, x):
-    return scnet.apply(params, config, x, variant="tran")
+def apply(params, config, x, precision=None, compute_dtype=None):
+    return scnet.apply(params, config, x, variant="tran",
+                       compute_dtype=compute_dtype)
 
 
 def convert_torch(state_dict, config):

@@ -105,3 +105,25 @@ def test_bs_mamba2_bf16():
     params = bs_mamba2.init(jax.random.PRNGKey(0), config)
     _check(lambda p, x, d: bs_mamba2.apply(p, config, x, compute_dtype=d),
            params, _mix(22050), atol=0.12)  # SSD decay chain compounds bf16
+
+
+def test_scnet_tran_and_masked_bf16():
+    """The tran/masked shims forward compute_dtype (regression: their
+    apply signatures omitted it, so bf16 sessions silently ran f32; the
+    masked variant then ALSO crashed on mixed conv dtypes when called
+    with bf16 directly)."""
+    from tests.test_scnet import tiny_kwargs
+    from sesa_tpu.models import scnet_masked, scnet_tran
+
+    kw = tiny_kwargs()
+    kw.update(tran_rotary_embedding_dim=8, tran_depth=1, tran_heads=2,
+              tran_dim_head=8)
+    config = ConfigDict({"model": kw})
+    params = scnet_tran.init(jax.random.PRNGKey(0), config)
+    _check(lambda p, x, d: scnet_tran.apply(p, config, x, compute_dtype=d),
+           params, _mix(6000), atol=0.15)
+
+    config_m = ConfigDict({"model": tiny_kwargs()})
+    params_m = scnet_masked.init(jax.random.PRNGKey(1), config_m)
+    _check(lambda p, x, d: scnet_masked.apply(p, config_m, x, compute_dtype=d),
+           params_m, _mix(6000), atol=0.15)
