@@ -38,7 +38,42 @@ def test_tp_param_sharding():
     assert gamma.sharding.spec == jax.sharding.PartitionSpec(None)
 
 
-def test_dryrun_multichip():
+def test_dryrun_multichip_child_inline(monkeypatch):
+    """Child path: conftest already provides 8 virtual CPU devices, so the
+    inline body (all three certifications) runs in-process."""
+    monkeypatch.setenv("SESA_DRYRUN_CHILD", "1")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_dryrun_parent_never_touches_backend(monkeypatch):
+    """PARENT path: must re-exec into the CPU child WITHOUT initializing any
+    device backend. With the axon TPU relay down, the first jax.devices()
+    call hangs ~25 min before raising — past every driver timeout
+    (MULTICHIP_r03 recorded rc=124 exactly this way). Simulate a hung/
+    poisoned backend by making jax.devices raise; the parent must never
+    reach it."""
+    import __graft_entry__ as g
+
+    monkeypatch.delenv("SESA_DRYRUN_CHILD", raising=False)
+
+    def hung_backend(*a, **k):
+        raise AssertionError("parent touched the device backend")
+
+    monkeypatch.setattr(g.jax, "devices", hung_backend)
+    calls = []
+    monkeypatch.setattr(g, "_reexec_dryrun", lambda n: calls.append(n))
+    g.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_dryrun_multichip_subprocess():
+    """Full driver path: parent re-execs a fresh CPU child subprocess that
+    runs all three certifications. This is exactly what the driver invokes."""
+    import os
+
+    assert not os.environ.get("SESA_DRYRUN_CHILD")
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
