@@ -51,6 +51,63 @@ def progress_html(pct: int, label: str = "") -> str:
     )
 
 
+# All 16 output stem slots, in display order (reference gui.py:523-552
+# renders one gr.Audio per slot; processing.py fills the same 16 keys).
+STEM_LABELS = [
+    ("vocals", "Vocals"), ("instrumental", "Instrumental"),
+    ("phaseremix", "Phase Remix"), ("drum", "Drums"),
+    ("bass", "Bass"), ("other", "Other"),
+    ("effects", "Effects"), ("speech", "Speech"),
+    ("music", "Music"), ("dry", "Dry"),
+    ("male", "Male"), ("female", "Female"),
+    ("bleed", "Bleed"), ("karaoke", "Karaoke"),
+    ("mid", "Mid"), ("side", "Side"),
+]
+
+
+def slot_outputs(upd: dict) -> List:
+    """Map a processing.process_audio update onto the 16 stem outputs, in
+    STEM_LABELS order (keys match processing.STEM_SLOTS)."""
+    slots = upd.get("slots", {}) or {}
+    return [slots.get(name) for name, _ in STEM_LABELS]
+
+
+def batch_process_folder(folder, model, chunk_size, overlap, export_format,
+                         process_fn=None):
+    """Process every audio file in a folder; returns (status, output paths).
+
+    One corrupt file must not abort the batch or discard the outputs of
+    files already processed — and a file whose processing yields NO updates
+    is reported as failed, not crashed (the reference's Batch tab never
+    processes at all, gui.py:1139-1180)."""
+    if not folder or not os.path.isdir(folder):
+        return "Folder not found", []
+    process_fn = process_fn or processing.process_audio
+    outs = []
+    failed = []
+    files = sorted(
+        f for f in os.listdir(folder)
+        if f.lower().endswith((".wav", ".flac", ".mp3", ".ogg"))
+    )
+    for name in files:
+        upd = None
+        try:
+            for upd in process_fn(
+                os.path.join(folder, name), model, int(chunk_size),
+                int(overlap), export_format,
+            ):
+                pass
+            if upd is None:
+                raise RuntimeError("no progress updates yielded")
+            outs.extend(upd.get("outputs", []))
+        except Exception as e:
+            failed.append(f"{name} ({e})")
+    status = f"Processed {len(files) - len(failed)}/{len(files)} files"
+    if failed:
+        status += "; failed: " + ", ".join(failed[:5])
+    return status, outs
+
+
 def _model_choices(category: str, favorites: List[str]) -> List[str]:
     from sesa_tpu.registry import get_all_model_configs_with_custom
 
@@ -81,7 +138,7 @@ def create_interface():
                     use_tta, phaseremix, extract_inst, use_apollo,
                     apollo_chunk, apollo_over, apollo_method, apollo_normal,
                     apollo_mid, use_match, match_passes):
-        outputs_final = [None] * 6
+        outputs_final = [None] * len(STEM_LABELS)
         html = progress_html(0, "starting")
         for upd in processing.process_audio(
             audio_path, model, int(chunk_size), int(overlap), export_format,
@@ -93,12 +150,7 @@ def create_interface():
             matchering_passes=int(match_passes),
         ):
             html = progress_html(upd["progress"], upd["status"])
-            slots = upd.get("slots", {})
-            outputs_final = [
-                slots.get("vocals"), slots.get("instrumental"),
-                slots.get("phaseremix"), slots.get("drum"),
-                slots.get("bass"), slots.get("other"),
-            ]
+            outputs_final = slot_outputs(upd)
             yield [html] + outputs_final
 
     def run_auto_ensemble(audio_path, models, chunk_size, overlap, etype,
@@ -138,30 +190,8 @@ def create_interface():
         return msg, out
 
     def run_batch(folder, model, chunk_size, overlap, export_format):
-        if not folder or not os.path.isdir(folder):
-            return "Folder not found", []
-        outs = []
-        failed = []
-        files = sorted(
-            f for f in os.listdir(folder)
-            if f.lower().endswith((".wav", ".flac", ".mp3", ".ogg"))
-        )
-        for name in files:
-            # one corrupt file must not abort the batch or discard the
-            # outputs of the files already processed
-            try:
-                for upd in processing.process_audio(
-                    os.path.join(folder, name), model, int(chunk_size),
-                    int(overlap), export_format,
-                ):
-                    pass
-                outs.extend(upd.get("outputs", []))
-            except Exception as e:
-                failed.append(f"{name} ({e})")
-        status = f"Processed {len(files) - len(failed)}/{len(files)} files"
-        if failed:
-            status += "; failed: " + ", ".join(failed[:5])
-        return status, outs
+        return batch_process_folder(folder, model, chunk_size, overlap,
+                                    export_format)
 
     def add_custom(name, mtype, ckpt_url, cfg_url):
         from sesa_tpu.registry import add_custom_model
@@ -233,19 +263,20 @@ def create_interface():
                     process_btn = gr.Button("Process", variant="primary")
                 with gr.Column():
                     progress = gr.HTML(progress_html(0))
-                    out_vocals = gr.Audio(label="Vocals")
-                    out_inst = gr.Audio(label="Instrumental")
-                    out_phaseremix = gr.Audio(label="Phaseremix")
-                    out_drum = gr.Audio(label="Drums")
-                    out_bass = gr.Audio(label="Bass")
-                    out_other = gr.Audio(label="Other")
+                    # all 16 stem slots (reference gui.py:523-552), two per
+                    # row; models only fill the slots they produce, the rest
+                    # stay empty
+                    stem_audios = []
+                    for i in range(0, len(STEM_LABELS), 2):
+                        with gr.Row():
+                            for _, label in STEM_LABELS[i:i + 2]:
+                                stem_audios.append(gr.Audio(label=label))
             process_btn.click(
                 run_process,
                 [input_audio, model, chunk_size, overlap, export_format, use_tta,
                  phaseremix, extract_inst, use_apollo, apollo_chunk, apollo_over,
                  apollo_method, apollo_normal, apollo_mid, use_match, match_passes],
-                [progress, out_vocals, out_inst, out_phaseremix, out_drum,
-                 out_bass, out_other],
+                [progress] + stem_audios,
             )
 
         with gr.Tab("Auto Ensemble"):

@@ -82,6 +82,55 @@ def test_gui_import_without_gradio():
     assert "progress-fill" in gui.progress_html(50)
 
 
+def test_gui_wires_all_16_stem_slots():
+    """The UI must expose every slot processing.py fills (reference
+    gui.py:523-552 renders all 16; round-3 UI silently dropped 10)."""
+    from sesa_tpu import gui, processing
+
+    slot_names = [name for name, _ in gui.STEM_LABELS]
+    assert sorted(slot_names) == sorted(processing.STEM_SLOTS)
+    assert len(slot_names) == 16
+
+    upd = {"slots": {"male": "m.wav", "karaoke": "k.wav", "bleed": "b.wav"}}
+    outs = gui.slot_outputs(upd)
+    assert len(outs) == 16
+    assert outs[slot_names.index("male")] == "m.wav"
+    assert outs[slot_names.index("karaoke")] == "k.wav"
+    assert outs[slot_names.index("bleed")] == "b.wav"
+    assert outs[slot_names.index("vocals")] is None
+    # updates without slots (mid-progress) map to all-empty, not a crash
+    assert gui.slot_outputs({"progress": 10}) == [None] * 16
+
+
+def test_batch_process_folder_empty_generator(tmp_path):
+    """A file whose processing yields NO updates must be reported as failed
+    — not crash with NameError on the loop variable (round-3 gui.py:153-158
+    bug), and must not discard outputs of files already processed."""
+    from sesa_tpu.gui import batch_process_folder
+
+    (tmp_path / "ok.wav").write_bytes(b"")
+    (tmp_path / "zz_bad.wav").write_bytes(b"")
+
+    def fake_process(path, model, chunk, overlap, fmt):
+        if "zz_bad" in path:
+            return  # generator that yields nothing
+        yield {"progress": 100, "status": "Done", "outputs": [path + ".out"]}
+
+    status, outs = batch_process_folder(
+        str(tmp_path), "model", 352800, 2, "wav FLOAT",
+        process_fn=fake_process)
+    assert status.startswith("Processed 1/2")
+    assert "zz_bad.wav (no progress updates yielded)" in status
+    assert outs == [str(tmp_path / "ok.wav") + ".out"]
+
+
+def test_batch_process_folder_missing():
+    from sesa_tpu.gui import batch_process_folder
+
+    status, outs = batch_process_folder("/nonexistent_dir", "m", 1, 2, "wav FLOAT")
+    assert status == "Folder not found" and outs == []
+
+
 def test_process_audio_no_input():
     from sesa_tpu.processing import process_audio
 
