@@ -19,6 +19,7 @@ import numpy as np
 
 from sesa_tpu.models.layers import kaiming_uniform
 from sesa_tpu.ops.attention import sdpa
+from sesa_tpu.ops.prec import net_precision
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -176,7 +177,7 @@ def apply(params, config, x, precision=None, compute_dtype=None):
 
     ``compute_dtype``: run the band/roformer/seq-conv net in this dtype
     (bf16 on TPU); STFT/iSTFT and band feature extraction stay float32."""
-    precision = precision or _HIGHEST
+    precision = net_precision(precision, compute_dtype)
     sr, win, stride, enc_dim, n, layer, band_width = _dims(config)
     bw = band_width[0]
     b, ch, nsample = x.shape

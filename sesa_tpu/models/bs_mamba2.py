@@ -23,6 +23,7 @@ import numpy as np
 
 from sesa_tpu.models import layers as L
 from sesa_tpu.ops.ssd import ssd
+from sesa_tpu.ops.prec import net_precision
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -278,7 +279,7 @@ def apply(params, config, x, precision=None, compute_dtype=None):
     GLU heads in this dtype (bf16 on TPU); STFT/iSTFT and the complex
     mask application stay float32 (the SSD scan accumulates f32 in its
     fused kernel regardless)."""
-    precision = precision or _HIGHEST
+    precision = net_precision(precision, compute_dtype)
     kw = _model_kwargs(config)
     widths = band_widths(kw["sr"], kw["win"])
     nband = len(widths)

@@ -260,9 +260,9 @@ def apply_from_spec(params, spec: RoformerSpec, x, precision=None,
     analog of the reference's AMP autocast, utils.py:399) while the STFT,
     mask multiply, and iSTFT stay float32.
     """
-    if precision is None:
-        precision = (jax.lax.Precision.DEFAULT if compute_dtype is not None
-                     else jax.lax.Precision.HIGHEST)
+    from sesa_tpu.ops.prec import net_precision
+
+    precision = net_precision(precision, compute_dtype)
     plan = spec.band_plan()
     b, ch, t = x.shape
     assert ch == spec.audio_channels

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from sesa_tpu.models import layers as L
+from sesa_tpu.ops.prec import net_precision
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -313,7 +314,7 @@ def init(rng, config):
 def apply(params, config, mix, precision=None, compute_dtype=None):
     """(B, C, T) -> (B, S, C, T); reference demucs.demucs.Demucs.forward."""
     kw = kwargs_from_config(config)
-    prec = precision or _HIGHEST
+    prec = net_precision(precision, compute_dtype)
     x = mix
     length = x.shape[-1]
 

@@ -30,6 +30,7 @@ import numpy as np
 from sesa_tpu.models import layers as L
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 from sesa_tpu.ops.wiener import wiener_ri
+from sesa_tpu.ops.prec import net_precision
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -663,7 +664,7 @@ def apply(params, config, mix, precision=None, compute_dtype=None):
         from sesa_tpu.models import demucs_legacy
         return demucs_legacy.apply(params, config, mix, precision=precision,
                                    compute_dtype=compute_dtype)
-    precision = precision or _HIGHEST
+    precision = net_precision(precision, compute_dtype)
     kw = _kwargs(config)
     plan = _layer_plan(kw)
     nfft, hl = kw["nfft"], kw["nfft"] // 4

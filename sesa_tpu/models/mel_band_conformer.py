@@ -17,6 +17,7 @@ from sesa_tpu.models import conformer_core as cc
 from sesa_tpu.models.bs_roformer import RoformerSpec, _make_take
 from sesa_tpu.models.mel_band_roformer import mel_band_feats
 from sesa_tpu.ops import bands as B
+from sesa_tpu.ops.prec import net_precision
 from sesa_tpu.ops.stft import hann_window, istft_ri, stft_ri
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -74,7 +75,7 @@ def apply(params, config, x, precision=None, compute_dtype=None):
 
     ``compute_dtype``: run the band-split/conformer/mask net in this dtype
     (bf16 on TPU); STFT/iSTFT and the mask application stay float32."""
-    precision = precision or _HIGHEST
+    precision = net_precision(precision, compute_dtype)
     kw = _kwargs(config)
     plan = _plan(kw)
     b, ch, t = x.shape

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sesa_tpu.models import layers as L
+from sesa_tpu.ops.prec import net_precision
 from sesa_tpu.models.mdx23c import num_target_instruments
 from sesa_tpu.models.segm_models import (_cac2cws, _cws2cac, _dims,
                                          inverse_spectrogram, spectrogram)
@@ -348,7 +349,7 @@ def _decode_head(p, feats, kw, precision):
 
 def apply(params, config, x, precision=None, compute_dtype=None):
     """(B, ch, T) -> (B, S, ch, T) (shell identical to segm_models')."""
-    precision = precision or _HIGHEST
+    precision = net_precision(precision, compute_dtype)
     kw = _swin_kwargs(config)
     k, dim_c, c = _dims(config)
     act = L.make_act(config.model.act)
