@@ -39,12 +39,15 @@ def _dims(config):
     return sr, win, stride, enc_dim, feature_dim, layer, band_width
 
 
-def _rms_norm_channels(x, weight, eps=1e-5):
-    """Apollo RMSNorm on (..., N, T): rms over the channel axis.
-    Statistics accumulate in float32 under a bf16 compute dtype."""
+def _rms_norm_last(x, weight, eps=1e-5):
+    """Apollo RMSNorm on (..., N): rms over the trailing channel axis.
+    Statistics accumulate in float32 under a bf16 compute dtype. (The net
+    runs channels-LAST here — the torch reference's (B, N, T) layout keeps
+    the contraction axis in the middle, which costs layout churn on TPU;
+    values are identical.)"""
     xf = x.astype(jnp.float32)
-    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-2, keepdims=True) + eps)
-    return norm.astype(x.dtype) * weight[..., :, None]
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return norm.astype(x.dtype) * weight
 
 
 # --------------------------------------------------------------------------
@@ -128,47 +131,56 @@ def _rotate_pairs(x):
 
 
 def _roformer_apply(p, x, num_head=8, precision=_HIGHEST):
-    """x (B, N, T) band-axis transformer (seq axis = T here)."""
-    b, n, t = x.shape
+    """x (B, S, N) band-axis transformer (seq axis = bands)."""
+    b, s, n = x.shape
     hidden = n // num_head
-    xn = _rms_norm_channels(x, p["input_norm"])
-    qkv = jnp.einsum("bnt,on->bot", xn, p["qkv_w"], precision=precision)
-    qkv = qkv.reshape(b, num_head, hidden * 3, t)
-    qkv = jnp.swapaxes(qkv, -1, -2)  # (B, H, T, 3h)
+    xn = _rms_norm_last(x, p["input_norm"])
+    qkv = jnp.einsum("bsn,on->bso", xn, p["qkv_w"], precision=precision)
+    # the packed qkv axis is head-major: head h owns rows [3h*hd, 3(h+1)*hd)
+    # as (q_h, k_h, v_h) — same packing as the torch checkpoint
+    qkv = qkv.reshape(b, s, num_head, hidden * 3)
+    qkv = jnp.transpose(qkv, (0, 2, 1, 3))  # (B, H, S, 3h)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    cos, sin = _apollo_rope(hidden, t)
+    cos, sin = _apollo_rope(hidden, s)
     # tables are built in f32; drop to the network dtype so bf16 stays bf16
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
     q = q * cos + _rotate_pairs(q) * sin
     k = k * cos + _rotate_pairs(k) * sin
 
-    out = sdpa(q, k, v, precision=precision)  # (B, H, T, h)
-    out = jnp.swapaxes(out, -1, -2).reshape(b, num_head * hidden, t)
-    out = jnp.einsum("bnt,on->bot", out, p["out_w"], precision=precision) + x
+    out = sdpa(q, k, v, precision=precision)  # (B, H, S, h)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, n)
+    out = jnp.einsum("bsn,on->bso", out, p["out_w"], precision=precision) + x
 
-    h = _rms_norm_channels(out, p["mlp_norm"])
-    h = jnp.einsum("bnt,on->bot", h, p["mlp_in"], precision=precision)
+    h = _rms_norm_last(out, p["mlp_norm"])
+    h = jnp.einsum("bsn,on->bso", h, p["mlp_in"], precision=precision)
     h = jax.nn.silu(h)
-    gate, z = jnp.split(h, 2, axis=1)
+    gate, z = jnp.split(h, 2, axis=-1)
     h = jax.nn.silu(gate) * z
-    h = jnp.einsum("bnt,on->bot", h, p["mlp_out"], precision=precision)
+    h = jnp.einsum("bsn,on->bso", h, p["mlp_out"], precision=precision)
     return out + h
 
 
 def _conv_act_norm_apply(p, x, kernel=7, precision=_HIGHEST):
-    """(B, N, T) depthwise conv + RMSNorm + pointwise MLP, residual."""
-    n = x.shape[1]
+    """(B, T, N) depthwise conv over T + RMSNorm + pointwise MLP, residual.
+
+    Stays on plain einsums on purpose: a Pallas fusion of the norm -> pw1
+    -> SiLU -> pw2 -> +residual chain was measured SLOWER than XLA's own
+    fusion at these shapes (36.2 vs 32.8 ms at (608320, 256)x1024 tokens,
+    v5e) — the hidden stream XLA spills is cheaper than the kernel's
+    per-program overhead at dim 256."""
+    b, t, n = x.shape
+    w = jnp.transpose(p["dw_w"], (2, 1, 0))  # torch (N,1,k) -> HIO (k,1,N)
     y = jax.lax.conv_general_dilated(
-        x, p["dw_w"], window_strides=(1,), padding=[((kernel - 1) // 2,) * 2],
-        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=n,
+        x, w, window_strides=(1,), padding=[((kernel - 1) // 2,) * 2],
+        dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=n,
         precision=precision,
-    ) + p["dw_b"][None, :, None]
-    y = _rms_norm_channels(y, p["norm"])
-    y = jnp.einsum("bnt,on->bot", y, p["pw1_w"], precision=precision) + p["pw1_b"][None, :, None]
+    ) + p["dw_b"]
+    y = _rms_norm_last(y, p["norm"])
+    y = jnp.einsum("btn,on->bto", y, p["pw1_w"], precision=precision) + p["pw1_b"]
     y = jax.nn.silu(y)
-    y = jnp.einsum("bnt,on->bot", y, p["pw2_w"], precision=precision) + p["pw2_b"][None, :, None]
+    y = jnp.einsum("btn,on->bto", y, p["pw2_w"], precision=precision) + p["pw2_b"]
     return x + y
 
 
@@ -186,61 +198,65 @@ def apply(params, config, x, precision=None, compute_dtype=None):
     spec = stft_ri(x.reshape(b * ch, nsample), win, stride, window)  # (B', F, T, 2)
     t = spec.shape[-2]
 
-    # uniform bands: (B', 79, bw, T, 2); last band separate
-    uni = spec[:, : 79 * bw].reshape(b * ch, 79, bw, t, 2)
-    last = spec[:, 79 * bw :]  # (B', bw_last, T, 2)
+    # uniform bands, channels-LAST: (B', 79, T, bw, 2); last band separate
+    uni = jnp.transpose(
+        spec[:, : 79 * bw].reshape(b * ch, 79, bw, t, 2), (0, 1, 3, 2, 4))
+    last = jnp.transpose(spec[:, 79 * bw :], (0, 2, 1, 3))  # (B', T, bw_l, 2)
 
-    def band_features(s):  # (..., BW, T, 2) -> norm spec + log power
-        power = jnp.sqrt(jnp.sum(s[..., 0] ** 2 + s[..., 1] ** 2, axis=-2) + _EPS_F32)
-        p1 = power[..., None, :]
-        re = s[..., 0] / p1
-        im = s[..., 1] / p1
-        return jnp.concatenate([re, im, jnp.log(p1)], axis=-2)  # (..., 2BW+1, T)
+    def band_features(s):  # (..., T, BW, 2) -> norm spec + log power
+        power = jnp.sqrt(
+            jnp.sum(s[..., 0] ** 2 + s[..., 1] ** 2, axis=-1, keepdims=True)
+            + _EPS_F32)
+        re = s[..., 0] / power
+        im = s[..., 1] / power
+        return jnp.concatenate([re, im, jnp.log(power)], axis=-1)  # (..., T, 2BW+1)
 
-    feat_uni = band_features(uni)  # (B', 79, 2bw+1, T)
-    feat_last = band_features(last)
+    feat_uni = band_features(uni)  # (B', 79, T, 2bw+1)
+    feat_last = band_features(last)  # (B', T, 2bw_l+1)
     if compute_dtype is not None:
         feat_uni = feat_uni.astype(compute_dtype)
         feat_last = feat_last.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
-    feat_uni = _rms_norm_channels(feat_uni, params["bn_norm"])
-    feat_uni = jnp.einsum("bmct,moc->bmot", feat_uni, params["bn_w"],
-                          precision=precision) + params["bn_b"][None, :, :, None]
+    feat_uni = _rms_norm_last(feat_uni, params["bn_norm"][:, None, :])
+    feat_uni = jnp.einsum("bmtc,mnc->bmtn", feat_uni, params["bn_w"],
+                          precision=precision) + params["bn_b"][None, :, None, :]
 
-    feat_last = _rms_norm_channels(feat_last, params["bn_norm_last"])
-    feat_last = jnp.einsum("bct,oc->bot", feat_last, params["bn_w_last"],
-                           precision=precision) + params["bn_b_last"][None, :, None]
+    feat_last = _rms_norm_last(feat_last, params["bn_norm_last"])
+    feat_last = jnp.einsum("btc,nc->btn", feat_last, params["bn_w_last"],
+                           precision=precision) + params["bn_b_last"]
 
-    feat = jnp.concatenate([feat_uni, feat_last[:, None]], axis=1)  # (B', 80, N, T)
+    feat = jnp.concatenate([feat_uni, feat_last[:, None]], axis=1)  # (B', 80, T, N)
     nband = feat.shape[1]
 
     for lp in params["layers"]:
         # band communication: sequence axis = bands, batched over (B', T)
-        z = jnp.transpose(feat, (0, 3, 2, 1)).reshape(-1, n, nband)
+        z = jnp.transpose(feat, (0, 2, 1, 3)).reshape(-1, nband, n)
         z = _roformer_apply(lp["band_net"], z, precision=precision)
-        feat = jnp.transpose(z.reshape(b * ch, t, n, nband), (0, 3, 2, 1))
+        feat = jnp.transpose(z.reshape(b * ch, t, nband, n), (0, 2, 1, 3))
         # sequence modeling over frames per band
-        z = feat.reshape(b * ch * nband, n, t)
+        z = feat.reshape(b * ch * nband, t, n)
         for blk in lp["seq_net"]:
             z = _conv_act_norm_apply(blk, z, precision=precision)
-        feat = z.reshape(b * ch, nband, n, t)
+        feat = z.reshape(b * ch, nband, t, n)
 
     # output heads: RMSNorm + 1x1 + GLU -> RI per band
-    hu = _rms_norm_channels(feat[:, :79], params["out_norm"])
-    hu = jnp.einsum("bmct,moc->bmot", hu, params["out_w"],
-                    precision=precision) + params["out_b"][None, :, :, None]
-    a, g = jnp.split(hu, 2, axis=2)
-    hu = a * jax.nn.sigmoid(g)  # (B', 79, 2bw, T)
-    hu = hu.reshape(b * ch, 79, 2, bw, t)
+    hu = _rms_norm_last(feat[:, :79], params["out_norm"][:, None, :])
+    hu = jnp.einsum("bmtn,mon->bmto", hu, params["out_w"],
+                    precision=precision) + params["out_b"][None, :, None, :]
+    a, g = jnp.split(hu, 2, axis=-1)
+    hu = a * jax.nn.sigmoid(g)  # (B', 79, T, 2bw)
+    hu = hu.reshape(b * ch, 79, t, 2, bw)
 
-    hl = _rms_norm_channels(feat[:, 79], params["out_norm_last"])
-    hl = jnp.einsum("bct,oc->bot", hl, params["out_w_last"],
-                    precision=precision) + params["out_b_last"][None, :, None]
-    a, g = jnp.split(hl, 2, axis=1)
-    hl = (a * jax.nn.sigmoid(g)).reshape(b * ch, 2, band_width[-1], t)
+    hl = _rms_norm_last(feat[:, 79], params["out_norm_last"])
+    hl = jnp.einsum("btn,on->bto", hl, params["out_w_last"],
+                    precision=precision) + params["out_b_last"]
+    a, g = jnp.split(hl, 2, axis=-1)
+    hl = jnp.transpose(
+        (a * jax.nn.sigmoid(g)).reshape(b * ch, t, 2, band_width[-1]),
+        (0, 2, 3, 1))  # (B', 2, bw_l, T)
 
     spec_out = jnp.concatenate(
-        [hu.transpose(0, 2, 1, 3, 4).reshape(b * ch, 2, 79 * bw, t),
+        [jnp.transpose(hu, (0, 3, 1, 4, 2)).reshape(b * ch, 2, 79 * bw, t),
          hl],
         axis=2,
     )  # (B', 2, F, T)

@@ -8,13 +8,15 @@ segmentation network from `segmentation_models_pytorch` / `torchseg` with
 an imagenet-pretrained encoder (e.g. the VitLarge23 vocal checkpoint uses
 a timm MaxViT encoder).
 
-The MaxViT encoder family (the one the curated registry actually needs:
-VOCALS-VitLarge23 uses ``tu-maxvit_large_tf_512``) is implemented natively
-in sesa_tpu/models/maxvit_unet.py with full checkpoint conversion. Configs
-naming other encoder zoos (efficientnet/resnext/...) fall back to the shell
-with a self-contained symmetric conv U-Net: new models can be
-initialized/trained/ran, but converting those community checkpoints raises
-a typed error naming the unsupported encoder.
+Two encoder zoos are implemented natively with full checkpoint
+conversion: MaxViT (the one the curated registry actually needs —
+VOCALS-VitLarge23 uses ``tu-maxvit_large_tf_512``; sesa_tpu/models/
+maxvit_unet.py) and the torchvision ResNet family (resnet18/34/50/101/
+152, the most common community choice; sesa_tpu/models/resnet_unet.py).
+Configs naming other encoder zoos (efficientnet/resnext/...) fall back
+to the shell with a self-contained symmetric conv U-Net: new models can
+be initialized/trained/ran, but converting those community checkpoints
+raises a typed error naming the unsupported encoder.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from sesa_tpu.models import layers as L
-from sesa_tpu.models import maxvit_unet
+from sesa_tpu.models import maxvit_unet, resnet_unet
 from sesa_tpu.models.mdx23c import (
     _cac2cws,
     _cws2cac,
@@ -47,7 +49,13 @@ def init(rng, config):
     s = num_target_instruments(config)
     keys = iter(jax.random.split(rng, 64))
 
+    native = None
     if maxvit_unet.is_maxvit(config):
+        native = (maxvit_unet, maxvit_unet.spec_from_config(config))
+    elif resnet_unet.is_resnet(config):
+        native = (resnet_unet, resnet_unet.spec_from_config(config))
+    if native is not None:
+        mod, spec = native
         _require_unet_decoder(config)
         r1, r2 = jax.random.split(rng)
         kk = iter(jax.random.split(r2, 8))
@@ -56,7 +64,7 @@ def init(rng, config):
             return L.kaiming_uniform(next(kk), (co, ci, 1, 1), ci)
 
         return {"first_conv": cw(dim_c, c),
-                "unet": maxvit_unet.init(r1, c, maxvit_unet.spec_from_config(config)),
+                "unet": mod.init(r1, c, spec),
                 "final_conv1": cw(c + dim_c, c),
                 "final_conv2": cw(c, s * dim_c)}
 
@@ -128,8 +136,12 @@ def image_path(params, config, mix):
     first_out = xx = L.conv2d(mix, params["first_conv"])
     xx = jnp.swapaxes(xx, -1, -2)
     if "unet" in params:
-        xx = maxvit_unet.apply(params["unet"], xx,
-                               maxvit_unet.spec_from_config(config))
+        if maxvit_unet.is_maxvit(config):
+            xx = maxvit_unet.apply(params["unet"], xx,
+                                   maxvit_unet.spec_from_config(config))
+        else:
+            xx = resnet_unet.apply(params["unet"], xx,
+                                   resnet_unet.spec_from_config(config))
     else:
         xx = _unet_apply(params, xx, act)
     xx = jnp.swapaxes(xx, -1, -2)
@@ -161,16 +173,20 @@ def convert_torch(state_dict, config):
 
     Shell keys (reference segm_models.py:190-255): ``first_conv.weight``,
     ``unet_model.*`` (the smp/torchseg model), ``final_conv.0.weight``,
-    ``final_conv.2.weight``. MaxViT-Unet checkpoints (VitLarge23) convert
-    fully; other encoder zoos raise typed."""
-    if not maxvit_unet.is_maxvit(config):
+    ``final_conv.2.weight``. MaxViT-Unet (VitLarge23) and ResNet-Unet
+    checkpoints convert fully; other encoder zoos raise typed."""
+    if maxvit_unet.is_maxvit(config):
+        sub_mod, spec = maxvit_unet, maxvit_unet.spec_from_config(config)
+    elif resnet_unet.is_resnet(config):
+        sub_mod, spec = resnet_unet, resnet_unet.spec_from_config(config)
+    else:
         raise NotImplementedError(
             "segm_models/torchseg checkpoint conversion is implemented for "
-            "MaxViT-Unet encoders (the layout the curated registry needs, "
-            f"e.g. VOCALS-VitLarge23); this config names encoder "
-            f"{str(config.model.get('encoder_name', '?'))!r}, whose imagenet "
-            "zoo (segmentation_models_pytorch / torchseg / timm) is not "
-            "reproduced in this TPU build. Use the roformer/mdx23c/scnet "
+            "MaxViT-Unet (the layout the curated registry needs, e.g. "
+            "VOCALS-VitLarge23) and ResNet-Unet encoders; this config names "
+            f"encoder {str(config.model.get('encoder_name', '?'))!r}, whose "
+            "imagenet zoo (segmentation_models_pytorch / torchseg / timm) is "
+            "not reproduced in this TPU build. Use the roformer/mdx23c/scnet "
             "families, or initialize this architecture fresh with init()."
         )
     _require_unet_decoder(config)
@@ -183,7 +199,6 @@ def convert_torch(state_dict, config):
         used.add(key)
         return sd[key]
 
-    spec = maxvit_unet.spec_from_config(config)
     # torchseg wraps the timm model directly as `encoder`; smp's
     # TimmUniversalEncoder nests it as `encoder.model`.
     prefix = "unet_model."
@@ -193,7 +208,7 @@ def convert_torch(state_dict, config):
               for k, v in sd.items()}
 
     params = {"first_conv": take("first_conv.weight"),
-              "unet": maxvit_unet.convert(sd, take, prefix, spec),
+              "unet": sub_mod.convert(sd, take, prefix, spec),
               "final_conv1": take("final_conv.0.weight"),
               "final_conv2": take("final_conv.2.weight")}
     unused = set(sd) - used

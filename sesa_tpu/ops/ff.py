@@ -28,11 +28,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _ff_kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               o_ref, *, norm, act, out_scale):
-    x = x_ref[...]  # (tile, d) bf16
-    # rows past the token count are padding; they still flow through the
-    # math (harmless) and are cropped by the caller.
+def _ff_chain(x, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+              *, norm, act, out_scale):
+    """norm -> linear -> act -> linear (×out_scale) on a (tile, d) block;
+    returns the pre-residual f32 output. Rows past the token count are
+    padding; they still flow through the math (harmless) and are cropped
+    by the caller."""
     xf = x.astype(jnp.float32)
     if norm == "rms":
         # lucidrains RMSNorm: l2-normalize * sqrt(dim) * gamma
@@ -59,6 +60,14 @@ def _ff_kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     y = y + b2_ref[...].astype(jnp.float32)
     if out_scale != 1.0:
         y = y * out_scale
+    return y
+
+
+def _ff_kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               o_ref, *, norm, act, out_scale):
+    x = x_ref[...]  # (tile, d) bf16
+    y = _ff_chain(x, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  norm=norm, act=act, out_scale=out_scale)
     o_ref[...] = y.astype(o_ref.dtype) + x  # residual folded in
 
 

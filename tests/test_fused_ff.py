@@ -46,3 +46,4 @@ def test_bf16_close_to_f32_reference():
     ref = _reference(x, gamma, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                atol=0.15, rtol=0.1)
+

@@ -86,21 +86,21 @@ def main():
                        if a.dtype == jnp.float32 else a, params)
     bands, t_frames, dim = 80, 1901, 256
     xb = jnp.asarray(np.random.default_rng(1).standard_normal(
-        (4, bands, dim, t_frames)).astype(np.float32) * 0.3, jnp.bfloat16)
+        (4, bands, t_frames, dim)).astype(np.float32) * 0.3, jnp.bfloat16)
 
     def roformer_stage(v):
         # band communication: seq axis = bands, batched over (B', T)
-        b, m, c, t = v.shape
-        z = jnp.transpose(v, (0, 3, 2, 1)).reshape(-1, c, m)
+        b, m, t, c = v.shape
+        z = jnp.transpose(v, (0, 2, 1, 3)).reshape(-1, m, c)
         z = apollo._roformer_apply(p16["layers"][0]["band_net"], z)
-        return jnp.transpose(z.reshape(b, t, c, m), (0, 3, 2, 1))
+        return jnp.transpose(z.reshape(b, t, m, c), (0, 2, 1, 3))
 
     def icb_stage(v):
         # one of the 3 per-layer seq convs over frames per band
-        b, m, c, t = v.shape
-        z = v.reshape(b * m, c, t)
+        b, m, t, c = v.shape
+        z = v.reshape(b * m, t, c)
         z = apollo._conv_act_norm_apply(p16["layers"][0]["seq_net"][0], z)
-        return z.reshape(b, m, c, t)
+        return z.reshape(b, m, t, c)
 
     try:
         out["roformer_band_ms"] = round(clock(jax.jit(roformer_stage), xb) * 1e3, 1)
