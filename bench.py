@@ -300,24 +300,13 @@ def bench_scnet_melconf(runs=3):
          scnet_dims=[4, 32, 64, 128], melconf_dim=384, melconf_depth=8)
 
 
-def bench_ensemble_pipeline(runs=3):
-    """REAL auto-ensemble data flow (reference auto_ensemble_process,
-    processing.py:798-1188): two actual model separations of the same song
-    (SCNet vocals + mel-band conformer vocals) feed the avg_wave ensemble,
-    then phase_fixer against the mix, then Apollo restoration — so the
-    recorded RTF covers every inter-stage host/device transfer of the
-    production multi-model chain, not just the post chain on synthetic
-    stems."""
+@functools.lru_cache(maxsize=1)
+def _apollo_setup():
+    """Apollo universal model shape (look2hear): 44.1k, 20ms win, 256
+    feat, 6 layers; GUI default chunk 19 s (apollo_processing.py). Shared
+    with tools/chain_sweep.py so sweeps measure the benched model."""
     from sesa_tpu.models import apollo
-    from sesa_tpu.postprocess.ensemble import ensemble_waveforms
-    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
 
-    sc_apply, sc_params, sc_spec = _scnet_setup()
-    mc_apply, mc_params, mc_spec = _melconf_setup()
-    mix = make_song()
-
-    # Apollo universal model shape (look2hear): 44.1k, 20ms win, 256 feat,
-    # 6 layers; GUI default chunk 19 s (apollo_processing.py)
     config = ConfigDict({"model": dict(sr=SR, win=20, feature_dim=256,
                                        layer=6)})
     params = apollo.init(jax.random.PRNGKey(0), config)
@@ -327,29 +316,51 @@ def bench_ensemble_pipeline(runs=3):
 
     spec = DemixSpec(chunk_size=19 * SR, num_overlap=2, batch_size=2,
                      num_stems=1)
+    return ap_apply, params, spec
+
+
+def bench_ensemble_pipeline(runs=3):
+    """REAL auto-ensemble data flow (reference auto_ensemble_process,
+    processing.py:798-1188): two actual model separations of the same song
+    (SCNet vocals + mel-band conformer vocals) feed the avg_wave ensemble,
+    then phase_fixer against the mix, then Apollo restoration. The chain
+    runs DEVICE-RESIDENT end to end (demix transport="device" ->
+    DemixJob.collect_device -> ensemble_waveforms_device ->
+    phase_fix_arrays(return_device=True) -> Apollo demix): the song
+    uploads once and only Apollo's restored output crosses back to the
+    host, so the recorded RTF covers the production chain's two real relay
+    transfers instead of the reference's per-stage host round trips."""
+    from sesa_tpu.postprocess.ensemble import ensemble_waveforms_device
+    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
+    from sesa_tpu.runtime import demix_start, upload_mix
+
+    sc_apply, sc_params, sc_spec = _scnet_setup()
+    mc_apply, mc_params, mc_spec = _melconf_setup()
+    ap_apply, ap_params, ap_spec = _apollo_setup()
+    mix = make_song()
 
     def run():
-        from sesa_tpu.runtime import demix_start, upload_mix
-
         mix_dev = upload_mix(mix)
         j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
-                         seg_batches=1, transport="int16")
+                         seg_batches=1, transport="device")
         j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
-                         seg_batches=1, transport="int16")
-        voc_a, voc_b = j1.collect()[3], j2.collect()[0]
-        ens = ensemble_waveforms([voc_a, voc_b], "avg_wave")
-        # the song is already on device; the phase-fixed result stays
-        # there and feeds Apollo's demix directly (no host round trip)
+                         seg_batches=1, transport="device")
+        # scnet stem 3 = vocals; both stems stay in HBM
+        ens = ensemble_waveforms_device(
+            [j1.collect_device(stems=[3])[0], j2.collect_device()[0]],
+            "avg_wave")
         fixed = phase_fix_arrays(mix_dev, ens, SR, return_device=True)
-        restored = demix(ap_apply, params, fixed, spec, seg_batches=1, transport="int16")
+        restored = demix(ap_apply, ap_params, fixed, ap_spec,
+                         seg_batches=1, transport="int16")
         return np.asarray(restored)
 
     best, compile_s, cache_new = timed(run, runs)
     emit("ensemble_pipeline_rtf", SONG_SECONDS / best, best, compile_s,
          cache_new=cache_new,
-         chain="scnet+melconf -> avg_wave -> phase_fix -> apollo",
+         chain="scnet+melconf -> avg_wave -> phase_fix -> apollo (device-resident)",
          n_models=2, method="avg_wave", apollo_chunk_s=19,
-         apollo_feature_dim=256, apollo_layers=6)
+         apollo_feature_dim=256, apollo_layers=6,
+         apollo_batch=ap_spec.batch_size)
 
 
 CONFIGS = {

@@ -111,6 +111,47 @@ def ensemble_waveforms(waves: Sequence[np.ndarray], method: str = "avg_wave",
     return _waveform_combine(stack, method, w)
 
 
+def ensemble_waveforms_device(waves, method: str = "avg_wave",
+                              weights: Optional[Sequence[float]] = None):
+    """Device-resident combiner for stems already in accelerator HBM.
+
+    Same waveform-method semantics as :func:`ensemble_waveforms`
+    (reference ensemble.py:172-256), but over jax device arrays and
+    returning a device array — the chain surface for flows whose stems
+    never touched the host (``DemixJob.collect_device``): two separations
+    -> ensemble -> phase fix -> Apollo stays on device end to end, saving
+    the (N, ch, T) download + result re-upload (~0.7 s per 60 s pair on
+    the ~50 MB/s relay link). Spectral (``*_fft``) methods stay host-only:
+    they are scipy-STFT reductions whose reference semantics (boundary
+    padding, odd-length istft) are pinned to scipy — callers needing them
+    fetch with :meth:`DemixJob.collect` and use :func:`ensemble_waveforms`.
+    """
+    import jax.numpy as jnp
+
+    if method.endswith("_fft"):
+        raise ValueError(
+            f"device ensemble supports waveform methods only, got {method!r}; "
+            "fetch the stems and use ensemble_waveforms for spectral methods")
+    if method not in ENSEMBLE_METHODS:
+        raise ValueError(f"Invalid method '{method}'. Available: {list(ENSEMBLE_METHODS)}")
+    if not waves:
+        raise ValueError("no input waveforms")
+    _check_weights(weights, len(waves))
+    tmin = min(w.shape[-1] for w in waves)
+    stack = jnp.stack([w[..., :tmin].astype(jnp.float32) for w in waves])
+    if method == "avg_wave":
+        if weights is not None:
+            w = jnp.asarray(weights, dtype=jnp.float32)
+            w = w / w.sum()
+            return jnp.tensordot(w, stack, axes=1)
+        return stack.mean(axis=0)
+    if method == "median_wave":
+        return jnp.median(stack, axis=0)
+    if method == "max_wave":
+        return stack.max(axis=0)
+    return stack.min(axis=0)
+
+
 def _waveform_combine_np(stack: np.ndarray, method: str,
                          weights: Optional[np.ndarray]) -> np.ndarray:
     """Pure-numpy combiner for the streaming path (per-chunk host work —

@@ -361,7 +361,10 @@ def demix(
     ``transport="int16"`` fetches output slabs as scaled int16 (half the
     bytes of the default exact-float32 transport; ~90 dB SNR). Sessions
     running bf16 compute enable it — the transport floor is far below the
-    compute noise (see _crop_quant16).
+    compute noise (see _crop_quant16). ``transport="device"`` skips the
+    host transfer entirely: the job is meant for
+    :meth:`DemixJob.collect_device`, which assembles the stems in HBM for
+    a downstream device consumer (ensemble / phase fix / another model).
     """
     return demix_start(
         model_apply, params, mix, spec, mesh=mesh, progress_cb=progress_cb,
@@ -388,6 +391,42 @@ class DemixJob:
         self._slab_len = slab_len
         self._lo = lo
         self._hi = hi
+
+    def collect_device(self, stems=None) -> jax.Array:
+        """Assemble the separation ON DEVICE — no host fetch at all.
+
+        Returns a float32 device array ``(S, ch, T)`` (or ``(len(stems),
+        ch, T)`` when ``stems`` selects a subset) that downstream device
+        consumers — device ensemble (:func:`postprocess.ensemble.
+        ensemble_waveforms_device`), :func:`postprocess.phase_fixer.
+        phase_fix_arrays`, another :func:`demix` — use directly. Chains
+        like auto-ensemble (two separations -> avg_wave -> phase fix ->
+        Apollo restore) keep every intermediate in HBM this way: the only
+        relay transfers of the whole chain are the one mix upload and the
+        final result fetch (the reference round-trips every stage through
+        host RAM, processing.py:798-1188). Jobs started with
+        ``transport="device"`` skip the int16 quantize + host prefetch so
+        the assembled stems are the exact float32 engine output; jobs on
+        other transports are dequantized/assembled from whatever slabs
+        they hold.
+        """
+        lo, hi = self._lo, self._hi
+        parts = []
+        for si, (slab, scale) in enumerate(self._slabs):
+            s0 = si * self._slab_len
+            s1 = s0 + slab.shape[-1]
+            c0, c1 = max(s0, lo), min(s1, hi)
+            if c0 >= c1:
+                continue
+            part = slab[..., c0 - s0 : c1 - s0]
+            if stems is not None:
+                part = part[jnp.asarray(stems, dtype=jnp.int32)]
+            if scale is not None:
+                part = part.astype(jnp.float32) * (scale / 32767.0)
+            elif part.dtype != jnp.float32:
+                part = part.astype(jnp.float32)
+            parts.append(part)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
     def collect(self) -> np.ndarray:
         spec, slab_len, lo, hi = self._spec, self._slab_len, self._lo, self._hi
@@ -522,10 +561,14 @@ def demix_start(
                 scale = None
                 if needed < slab_len:
                     slab = slab[..., :needed]
-            try:
-                slab.copy_to_host_async()
-            except Exception:  # pragma: no cover - non-PJRT backends
-                pass
+            if transport != "device":
+                # "device" jobs are consumed by collect_device — their
+                # slabs never cross to the host, so prefetching would
+                # waste the relay link the chain is trying to spare
+                try:
+                    slab.copy_to_host_async()
+                except Exception:  # pragma: no cover - non-PJRT backends
+                    pass
             slabs.append((slab, scale))
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)

@@ -249,6 +249,71 @@ def test_int16_scale_alignment_with_border_only_slabs():
     assert np.abs(q - exact).max() <= tol * 1.01
 
 
+def test_collect_device_matches_host_collect():
+    """transport="device" + collect_device assembles the exact f32 engine
+    output on device (no host fetch), including stem subsetting, and
+    dequantizes correctly when called on an int16-transport job."""
+    from sesa_tpu.runtime.demix import demix_start, upload_mix
+
+    rng = np.random.default_rng(19)
+    mix = rng.standard_normal((2, 100000)).astype(np.float32)
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=3, num_stems=2)
+    exact = demix(_mix_model_jax, None, mix, spec, seg_batches=1)
+
+    mix_dev = upload_mix(mix)
+    for seg in (1, 8):
+        j = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=seg,
+                        transport="device")
+        dev = j.collect_device()
+        assert isinstance(dev, jax.Array) and dev.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(dev), exact, atol=1e-6)
+
+    # stem subset: only the selected stems are assembled
+    j = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=1,
+                    transport="device")
+    one = j.collect_device(stems=[1])
+    assert one.shape == (1,) + exact.shape[1:]
+    np.testing.assert_allclose(np.asarray(one)[0], exact[1], atol=1e-6)
+
+    # device assembly of an int16-transport job dequantizes on device
+    j = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=1,
+                    transport="int16")
+    dev = j.collect_device()
+    tol = np.abs(exact).max() / 32767.0
+    assert np.abs(np.asarray(dev) - exact).max() <= tol * 1.01
+
+
+def test_device_chain_matches_host_chain():
+    """The device-resident ensemble chain (collect_device -> device
+    avg_wave -> phase fix -> downstream demix input) matches the
+    host-round-trip chain bit-close at every stage."""
+    from sesa_tpu.postprocess.ensemble import (ensemble_waveforms,
+                                               ensemble_waveforms_device)
+    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
+    from sesa_tpu.runtime.demix import demix_start, upload_mix
+
+    rng = np.random.default_rng(23)
+    mix = rng.standard_normal((2, 90000)).astype(np.float32) * 0.3
+    spec = DemixSpec(chunk_size=16384, num_overlap=2, batch_size=2, num_stems=2)
+
+    # host chain
+    host = demix(_mix_model_jax, None, mix, spec, seg_batches=1)
+    ens_host = ensemble_waveforms([host[0], host[1]], "avg_wave")
+    fixed_host = phase_fix_arrays(mix, ens_host, 44100)
+
+    # device chain
+    mix_dev = upload_mix(mix)
+    j = demix_start(_mix_model_jax, None, mix_dev, spec, seg_batches=1,
+                    transport="device")
+    stems_dev = j.collect_device()
+    ens_dev = ensemble_waveforms_device([stems_dev[0], stems_dev[1]],
+                                        "avg_wave")
+    np.testing.assert_allclose(np.asarray(ens_dev), ens_host, atol=1e-5)
+    fixed_dev = phase_fix_arrays(mix_dev, ens_dev, 44100, return_device=True)
+    assert isinstance(fixed_dev, jax.Array)
+    np.testing.assert_allclose(np.asarray(fixed_dev), fixed_host, atol=1e-4)
+
+
 def _nan_model(params, chunks):
     out = chunks[:, None] * jnp.float32(1.0)
     return out.at[:, :, :, 5].set(jnp.nan)

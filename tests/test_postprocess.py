@@ -166,3 +166,31 @@ def test_phase_fixer_matches_torch_oracle():
         outs.append(torch.abs(tt[c]) * torch.exp(1j * blended))
     ref = torch.istft(torch.stack(outs), n_fft, hop, window=w, length=t).numpy()
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_device_combiner_matches_host():
+    """ensemble_waveforms_device reproduces every waveform method of the
+    host combiner (incl. weighted avg and shortest-input truncation) and
+    rejects spectral methods loudly."""
+    import jax.numpy as jnp
+
+    from sesa_tpu.postprocess import ensemble_waveforms_device
+
+    rng = np.random.default_rng(31)
+    waves = [rng.standard_normal((2, 4000 - i)).astype(np.float32)
+             for i in range(3)]
+    dev = [jnp.asarray(w) for w in waves]
+    for method in ("avg_wave", "median_wave", "max_wave", "min_wave"):
+        host = ensemble_waveforms(waves, method)
+        got = np.asarray(ensemble_waveforms_device(dev, method))
+        np.testing.assert_allclose(got, host, atol=1e-6, err_msg=method)
+    host = ensemble_waveforms(waves, "avg_wave", weights=[1.0, 2.0, 3.0])
+    got = np.asarray(
+        ensemble_waveforms_device(dev, "avg_wave", weights=[1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(got, host, atol=1e-6)
+    with pytest.raises(ValueError, match="waveform methods only"):
+        ensemble_waveforms_device(dev, "max_fft")
+    with pytest.raises(ValueError, match="Invalid method"):
+        ensemble_waveforms_device(dev, "nope")
+    with pytest.raises(ValueError, match="weights"):
+        ensemble_waveforms_device(dev, "avg_wave", weights=[1.0])
