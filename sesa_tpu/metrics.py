@@ -129,3 +129,22 @@ def chunk_median_si_snr(preds, target, window_size, hop_size=None) -> float:
 def chunk_median_sdr(preds, target, window_size, hop_size=None) -> float:
     return chunk_median_signal_ratio(signal_distortion_ratio, preds, target,
                                      window_size, hop_size)
+
+
+def squim_objective_scores(wave, params, config=None) -> dict:
+    """Reference-free objective quality via the SQUIM model: dict of
+    {stoi, pesq, sisdr} numpy arrays of shape (batch,).
+
+    Mirrors the reference's use of the vendored torchaudio SquimObjective
+    as an eval-time metric (reference models/bandit/core/metrics/
+    _squim.py:209-253). `wave` is (T,) or (B, T) 16 kHz mono; `params`
+    is the pytree from `sesa_tpu.models.squim.init`/`convert_torch`
+    (trained torchaudio weights assume 16 kHz — _squim.py:369-372).
+    """
+    from sesa_tpu.models import squim
+
+    x = np.asarray(wave, dtype=np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    scores = squim.apply(params, config, x)
+    return {k: np.asarray(v) for k, v in scores.items()}

@@ -141,6 +141,15 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def prelu(x, alpha):
+    """torch nn.PReLU with the default single shared parameter (weight
+    shape (1,)): max(0,x) + alpha·min(0,x). Per-channel PReLU is layout-
+    dependent (torch broadcasts over dim 1) — callers needing it should
+    reshape alpha themselves."""
+    a = alpha[0] if alpha.ndim == 1 and alpha.shape[0] == 1 else alpha
+    return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+
+
 def lstm(x, params, reverse=False, precision=DEFAULT_PRECISION):
     """Single-layer unidirectional LSTM over (B, T, D), torch weight layout.
 
