@@ -564,7 +564,7 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
 
 def _conformer_attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, eexp_ref,
                            wo_ref, bo_ref, o_ref, qkv_scr, ao_scr, *,
-                           scale, seq_len, heads, dh, gb):
+                           scale, seq_len, heads, dh, gb, variant="full"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -591,15 +591,20 @@ def _conformer_attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, eexp_ref,
                         (heads + h) * dh:(heads + h + 1) * dh]
             v = qkv_scr[pl.dslice(bi * sp, sp),
                         (2 * heads + h) * dh:(2 * heads + h + 1) * dh]
-            qe = jax.lax.dot_general(
-                q, eexp_ref[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (sp, W)
-            bias = pltpu.roll(qe, (w - (sp - 1)) % w, 1,
-                              stride=1, stride_axis=0)[:, :sp]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            s = (s + bias) * scale
+            if variant != "no_bias":  # profiling variants (tools/ab_*)
+                qe = jax.lax.dot_general(
+                    q, eexp_ref[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (sp, W)
+                if variant == "no_roll":
+                    bias = qe[:, :sp]
+                else:
+                    bias = pltpu.roll(qe, (w - (sp - 1)) % w, 1,
+                                      stride=1, stride_axis=0)[:, :sp]
+                s = s + bias
+            s = s * scale
             s = jnp.where(key_mask, s, -jnp.inf)
             p = jax.nn.softmax(s, axis=-1)
             o = jax.lax.dot(p.astype(v.dtype), v,
@@ -617,7 +622,8 @@ def _conformer_attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, eexp_ref,
 
 
 def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
-                              heads, scale=None, interpret=False):
+                              heads, scale=None, interpret=False,
+                              variant="full"):
     """x (b, n, d) -> x + conformer-attention(layer_norm(x)) in one kernel.
 
     Weights keep torch layouts: wqkv (3·h·dh, d) = [to_q; to_kv] rows,
@@ -654,7 +660,7 @@ def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
     hd = heads * dh
     out = pl.pallas_call(
         functools.partial(_conformer_attn_kernel, scale=scale, seq_len=n,
-                          heads=heads, dh=dh, gb=gb),
+                          heads=heads, dh=dh, gb=gb, variant=variant),
         grid=(bp // gb,),
         in_specs=[stream, const((d,)), const((d,)), const(wqkv.shape),
                   const((w_roll, dh)), const(wo.shape), const((d,))],
