@@ -31,6 +31,7 @@ divides 0/0 → 0) and never inside overlap regions for ``num_overlap ≤ 10``.
 
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 import functools
 from typing import Callable, Optional
@@ -284,6 +285,37 @@ def _shard_mapped(model_apply: ModelApply, mesh) -> ModelApply:
                          check_rep=False)
 
 
+_FETCH_POOL = None
+
+
+def _fetch_pool() -> concurrent.futures.ThreadPoolExecutor:
+    """Shared background pool for device->host slab transfers.
+
+    The relay link is single-stream saturated (~35-50 MB/s; extra
+    concurrent streams measured no faster, tools/profile_fetch.py) but a
+    transfer DOES overlap queued compute (~1 s of a 42 MB fetch hides
+    behind a busy queue). Two workers: one transfers while the other
+    blocks on the next slab's buffer becoming ready.
+    """
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        _FETCH_POOL = concurrent.futures.ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="sesa-fetch")
+    return _FETCH_POOL
+
+
+def _fetch_slab(slab: jax.Array, scale):
+    """Blocking device->host fetch of one finalized slab (runs on the
+    fetch pool). The scale rides the same task: it comes from the same
+    program as the quantized slab, so it is ready when the slab is, and
+    fetching it here never dispatches a new device op (a host-side
+    ``jnp.stack`` of scales at collect() time queues BEHIND every other
+    dispatched program — that sync was the bug that serialized the whole
+    transfer after all compute)."""
+    arr = np.asarray(slab)
+    return arr, None if scale is None else float(np.asarray(scale))
+
+
 @jax.jit
 def _int16_to_f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32) * (1.0 / 32768.0)
@@ -376,18 +408,22 @@ class DemixJob:
     """A dispatched separation whose output has not been assembled yet.
 
     ``demix_start`` returns immediately after queuing every segment's
-    compute and (for the last slabs) their device-side crop/quantize; the
-    host-side slab fetches happen in :meth:`collect`. Because the relay
-    serves fetches of finished buffers while queued programs still
-    compute, starting a SECOND model's job before collecting the first
-    hides the first job's multi-MB output transfer behind the second's
-    compute — the auto-ensemble orchestration and the multi-model bench
-    configs overlap whole models this way.
+    compute and (for the last slabs) their device-side crop/quantize.
+    For host transports it also SUBMITS each slab's device->host fetch to
+    a background thread the moment the slab is dispatched — the relay
+    transfers finished buffers while queued programs still compute
+    (measured ~1 s of a 42 MB fetch hiding behind a busy queue,
+    tools/profile_fetch.py), so by :meth:`collect` time most bytes have
+    already crossed. Starting a SECOND model's job before collecting the
+    first additionally hides the first job's tail transfer behind the
+    second's compute — the auto-ensemble orchestration and the
+    multi-model bench configs overlap whole models this way.
     """
 
-    def __init__(self, spec, slabs, slab_len, lo, hi):
+    def __init__(self, spec, slabs, futures, slab_len, lo, hi):
         self._spec = spec
         self._slabs = slabs
+        self._futures = futures
         self._slab_len = slab_len
         self._lo = lo
         self._hi = hi
@@ -430,28 +466,24 @@ class DemixJob:
 
     def collect(self) -> np.ndarray:
         spec, slab_len, lo, hi = self._spec, self._slab_len, self._lo, self._hi
-        with_scale = [si for si, (_, s) in enumerate(self._slabs)
-                      if s is not None]
-        if with_scale:
-            # one round trip for every slab's quantization scale (a
-            # float() per slab costs a full relay round trip each);
-            # keyed by slab index so slabs skipped below (entirely inside
-            # the reflect border) cannot desynchronize the mapping
-            vals = np.asarray(jnp.stack([self._slabs[si][1]
-                                         for si in with_scale]))
-            scale_by_slab = dict(zip(with_scale, vals))
         est = np.empty((spec.num_stems, spec.num_channels, hi - lo),
                        dtype=np.float32)
-        for si, (slab, scale) in enumerate(self._slabs):
+        for si, ((slab, scale), fut) in enumerate(
+                zip(self._slabs, self._futures)):
             s0 = si * slab_len
             s1 = s0 + slab.shape[-1]
             c0, c1 = max(s0, lo), min(s1, hi)
             if c0 >= c1:
                 continue
-            part = np.asarray(slab)[..., c0 - s0 : c1 - s0]
-            if scale is not None:
-                part = part.astype(np.float32) * (
-                    float(scale_by_slab[si]) / 32767.0)
+            if fut is not None:  # host transports: prefetched in background
+                arr, scale_f = fut.result()
+            else:  # a "device" job collected on host anyway (scale is None
+                # there — quantization is skipped for device transport)
+                arr = np.asarray(slab)
+                scale_f = None if scale is None else float(np.asarray(scale))
+            part = arr[..., c0 - s0 : c1 - s0]
+            if scale_f is not None:
+                part = part.astype(np.float32) * (scale_f / 32767.0)
             est[..., c0 - lo : c1 - lo] = part
         return est
 
@@ -524,10 +556,13 @@ def demix_start(
         )
 
     # Slab-streaming pipeline: dispatch segment si+1 before materializing
-    # segment si's finalized slab on the host, so the device->host slab
-    # transfers overlap the next segment's compute (verified to overlap on
-    # the TPU relay link; see _demix_segment docstring).
+    # segment si's finalized slab on the host, and hand each finished
+    # slab's device->host transfer to a background thread immediately, so
+    # the transfers overlap the next segment's (and any later-dispatched
+    # job's) compute (verified to overlap on the TPU relay link; see
+    # tools/profile_fetch.py).
     slabs = []
+    futures = []
     for si in range(n_segments):
         result, counter, slab = _demix_segment(
             model_apply,
@@ -561,21 +596,18 @@ def demix_start(
                 scale = None
                 if needed < slab_len:
                     slab = slab[..., :needed]
-            if transport != "device":
-                # "device" jobs are consumed by collect_device — their
-                # slabs never cross to the host, so prefetching would
-                # waste the relay link the chain is trying to spare
-                try:
-                    slab.copy_to_host_async()
-                except Exception:  # pragma: no cover - non-PJRT backends
-                    pass
             slabs.append((slab, scale))
+            # "device" jobs are consumed by collect_device — their slabs
+            # never cross to the host, so prefetching would waste the
+            # relay link the chain is trying to spare
+            futures.append(None if transport == "device" else
+                           _fetch_pool().submit(_fetch_slab, slab, scale))
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)
 
     lo = border if padded else 0
     hi = (length - border) if padded else length_init
-    return DemixJob(spec, slabs, slab_len, lo, hi)
+    return DemixJob(spec, slabs, futures, slab_len, lo, hi)
 
 
 def upload_mix(mix: np.ndarray) -> jax.Array:

@@ -46,18 +46,26 @@ def main():
     mix_dev = upload_mix(mix)
 
     n = 42 * 1024 * 1024 // 2  # 42 MB of int16
-    big = jnp.arange(n, dtype=jnp.int32).astype(jnp.int16)
-    quarters = [big[i * (n // 4):(i + 1) * (n // 4)] for i in range(4)]
-    big = jax.block_until_ready(big)
-    quarters = [jax.block_until_ready(q) for q in quarters]
+    base = jax.block_until_ready(jnp.arange(n, dtype=jnp.int32))
+    salt = [0]
+
+    def fresh():
+        """A NEVER-FETCHED 42 MB int16 device array. jax.Array caches its
+        host copy after the first np.asarray, so re-fetching one array is
+        free — each timed fetch must target a new buffer."""
+        salt[0] += 1
+        return jax.block_until_ready((base + salt[0]).astype(jnp.int16))
 
     def fetch_big():
-        return np.asarray(big)[0]
+        return int(np.asarray(fresh())[0])
 
     def fetch_4way():
+        big = fresh()
+        quarters = [big[i * (n // 4):(i + 1) * (n // 4)] for i in range(4)]
+        jax.block_until_ready(quarters)
         with cf.ThreadPoolExecutor(4) as ex:
             parts = list(ex.map(np.asarray, quarters))
-        return parts[0][0]
+        return int(parts[0][0])
 
     def compute():
         j = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
@@ -65,9 +73,10 @@ def main():
         return float(jnp.sum(j.collect_device()[..., :16]))
 
     def fetch_during_compute():
+        big = fresh()
         j = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
                         seg_batches=1, transport="device")
-        got = np.asarray(big)[0]  # issued while segments compute
+        got = int(np.asarray(big)[0])  # issued while segments compute
         return got + float(jnp.sum(j.collect_device()[..., :16]))
 
     legs = {
