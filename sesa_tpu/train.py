@@ -70,9 +70,18 @@ def _schedule_from_config(base_lr: float, spec: Optional[Dict[str, Any]]):
         return optax.exponential_decay(
             base_lr, transition_steps=1, decay_rate=float(kw["gamma"]))
     if name == "CosineAnnealingLR":
-        return optax.cosine_decay_schedule(
-            base_lr, decay_steps=int(kw["T_max"]),
-            alpha=float(kw.get("eta_min", 0.0)) / base_lr if base_lr else 0.0)
+        # torch's closed form (eta_min + (base-eta_min)*(1+cos(pi*t/T_max))/2)
+        # is periodic: past T_max the LR climbs back up. optax's
+        # cosine_decay_schedule holds at the floor instead, so implement the
+        # periodic cosine directly (a schedule is just step -> lr).
+        t_max = int(kw["T_max"])
+        eta_min = float(kw.get("eta_min", 0.0))
+
+        def periodic_cosine(step):
+            return eta_min + (base_lr - eta_min) * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * step / t_max))
+
+        return periodic_cosine
     if name == "LinearLR":
         start = float(kw.get("start_factor", 1.0 / 3.0))
         end = float(kw.get("end_factor", 1.0))
@@ -108,11 +117,16 @@ def parse_optimizer_config(config: Dict[str, Any]):
     wd = float(kw.pop("weight_decay", 0.0))
 
     if name in ("Adam", "AdamW"):
-        if name == "AdamW" or wd:
+        if name == "AdamW":
             tx = optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
-                             weight_decay=wd if name == "AdamW" else wd)
+                             weight_decay=wd)
         else:
+            # torch Adam couples weight_decay INTO the gradient before the
+            # adaptive scaling (L2), unlike AdamW's decoupled decay — so the
+            # decay transform must run before the adam transform.
             tx = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+            if wd:
+                tx = optax.chain(optax.add_decayed_weights(wd), tx)
     elif name == "SGD":
         momentum = float(kw.pop("momentum", 0.0)) or None
         tx = optax.sgd(schedule, momentum=momentum,
@@ -150,9 +164,11 @@ class ReduceLROnPlateau:
     """
 
     def __init__(self, mode: str = "min", factor: float = 0.1,
-                 patience: int = 10, min_lr: float = 0.0):
+                 patience: int = 10, min_lr: float = 0.0,
+                 base_lr: float = 1.0):
         self.mode, self.factor, self.patience = mode, factor, patience
         self.min_lr = min_lr
+        self.base_lr = base_lr
         self.best: Optional[float] = None
         self.bad_epochs = 0
         self.scale = 1.0
@@ -167,7 +183,10 @@ class ReduceLROnPlateau:
         else:
             self.bad_epochs += 1
             if self.bad_epochs > self.patience:
-                self.scale *= self.factor
+                # torch floors the effective LR at min_lr; the scale is
+                # relative, so the floor is min_lr / base_lr
+                floor = self.min_lr / self.base_lr if self.base_lr else 0.0
+                self.scale = max(self.scale * self.factor, floor)
                 self.bad_epochs = 0
         return self.scale
 
@@ -315,6 +334,7 @@ class Trainer:
         self.config = config
         self.augmentor = augmentor
         self.mesh = mesh
+        self._param_rule = param_rule
         self._lr_scale = 1.0
 
         if loss is None:
@@ -455,12 +475,29 @@ class Trainer:
         self.params = cast
         if self.mesh is not None:
             from sesa_tpu.parallel import shard_params
-            self.params = shard_params(self.mesh, self.params)
+            # same rule as __init__: a custom TP rule must survive resume,
+            # or the restored params get the default roformer placement
+            self.params = shard_params(self.mesh, self.params,
+                                       rule=self._param_rule)
         if opt_state is not None:
             template = self.opt_state
-            self.opt_state = jax.tree_util.tree_unflatten(
+            restored = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(template),
                 [jnp.asarray(n, jnp.asarray(t).dtype) for t, n in zip(
                     jax.tree_util.tree_leaves(template),
                     jax.tree_util.tree_leaves(opt_state))])
+            if self.mesh is not None:
+                # moment tensors must sit where their params sit, or the
+                # first resumed step pays an all-to-all reshard. Leaves
+                # whose template is NOT mesh-placed (e.g. the scalar step
+                # count tx.init creates on the default device) stay
+                # uncommitted so jit may move them freely.
+                def _replace(t, n):
+                    if (hasattr(t, "sharding") and isinstance(
+                            t.sharding, jax.sharding.NamedSharding)):
+                        return jax.device_put(n, t.sharding)
+                    return n
+
+                restored = jax.tree.map(_replace, self.opt_state, restored)
+            self.opt_state = restored
         self.step = step

@@ -128,6 +128,56 @@ def test_reduce_lr_on_plateau():
     assert sched.step(0.5) == pytest.approx(0.1)  # new best keeps scale
 
 
+def test_reduce_lr_on_plateau_min_lr_floor():
+    # torch floors the effective LR at min_lr; with base_lr 1.0 and
+    # min_lr 0.05 the scale can never drop below 0.05
+    sched = ReduceLROnPlateau(patience=0, factor=0.1, min_lr=0.05,
+                              base_lr=1.0)
+    sched.step(1.0)
+    assert sched.step(2.0) == pytest.approx(0.1)
+    assert sched.step(2.0) == pytest.approx(0.05)   # clamped, not 0.01
+    assert sched.step(2.0) == pytest.approx(0.05)
+
+
+def test_cosine_annealing_is_periodic():
+    # torch's CosineAnnealingLR climbs back up past T_max; optax's
+    # cosine_decay_schedule would hold at the floor instead
+    tx = parse_optimizer_config({
+        "optimizer": {"name": "SGD", "kwargs": {"lr": 1.0}},
+        "scheduler": {"name": "CosineAnnealingLR",
+                      "kwargs": {"T_max": 4, "eta_min": 0.1}}})
+    params = {"w": jnp.zeros(())}
+    state = tx.init(params)
+    lrs = []
+    for _ in range(9):
+        upd, state = tx.update({"w": jnp.ones(())}, state, params)
+        lrs.append(-float(upd["w"]))
+    assert lrs[0] == pytest.approx(1.0)
+    assert lrs[4] == pytest.approx(0.1)             # trough at T_max
+    assert lrs[8] == pytest.approx(1.0, abs=1e-6)   # back at the peak
+
+
+def test_adam_weight_decay_is_coupled_l2():
+    # torch Adam couples weight_decay into the gradient BEFORE the adaptive
+    # scaling. With grad=0 and param=1, coupled L2 yields an update whose
+    # magnitude saturates at ~lr (adam normalizes the decay direction);
+    # decoupled AdamW would subtract exactly lr*wd*param instead.
+    import optax
+    tx = parse_optimizer_config({"optimizer": {
+        "name": "Adam", "kwargs": {"lr": 0.1, "weight_decay": 0.5}}})
+    params = {"w": jnp.ones(())}
+    state = tx.init(params)
+    upd, state = tx.update({"w": jnp.zeros(())}, state, params)
+    # coupled: adam sees grad wd*w = 0.5, first-step update = -lr = -0.1
+    assert float(upd["w"]) == pytest.approx(-0.1, rel=1e-3)
+    txw = parse_optimizer_config({"optimizer": {
+        "name": "AdamW", "kwargs": {"lr": 0.1, "weight_decay": 0.5}}})
+    statew = txw.init(params)
+    updw, _ = txw.update({"w": jnp.zeros(())}, statew, params)
+    # decoupled: zero grad -> update is exactly -lr*wd*w = -0.05
+    assert float(updw["w"]) == pytest.approx(-0.05, rel=1e-3)
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -251,6 +301,40 @@ def test_trainer_mesh_data_parallel():
                    loss={"name": "L1Loss", "kwargs": {}}, seed=0)
     ref = [solo.train_batch(item) for _ in range(2)]
     np.testing.assert_allclose(losses, ref, rtol=2e-4)
+
+
+def test_trainer_load_preserves_param_rule(tmp_path):
+    # a custom TP rule must survive save/load: load() used to fall back to
+    # the default roformer rule, silently re-placing the restored params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sesa_tpu.parallel import make_mesh
+    mesh = make_mesh(4)
+
+    def replicate_rule(path, leaf):
+        return NamedSharding(mesh, P())
+
+    trainer = Trainer("mdx23c", _mdx_config(),
+                      loss={"name": "L1Loss", "kwargs": {}},
+                      mesh=mesh, param_rule=replicate_rule, seed=0)
+    trainer.train_batch(_batch(b=4))
+    path = str(tmp_path / "ck.npz")
+    trainer.save(path)
+
+    other = Trainer("mdx23c", _mdx_config(),
+                    loss={"name": "L1Loss", "kwargs": {}},
+                    mesh=mesh, param_rule=replicate_rule, seed=7)
+    other.load(path)
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.params),
+                    jax.tree_util.tree_leaves(other.params)):
+        assert a.sharding == b.sharding
+    # opt_state moment tensors land on the param placement too (the scalar
+    # step count's placement is immaterial — jit replicates it on use)
+    for t, n in zip(jax.tree_util.tree_leaves(trainer.opt_state),
+                    jax.tree_util.tree_leaves(other.opt_state)):
+        if hasattr(t, "sharding") and hasattr(n, "sharding") and t.ndim > 0:
+            assert t.sharding.is_equivalent_to(n.sharding, t.ndim)
+    assert np.isfinite(other.train_batch(_batch(b=4)))
 
 
 def test_trainer_validate_track():
