@@ -444,11 +444,15 @@ class DemixJob:
         ``transport="device"`` skip the int16 quantize + host prefetch so
         the assembled stems are the exact float32 engine output; jobs on
         other transports are dequantized/assembled from whatever slabs
-        they hold.
+        they hold — but their dispatch already queued host prefetches, so
+        a job MEANT for collect_device should always be started with
+        ``transport="device"`` to keep those bytes off the relay link.
         """
         lo, hi = self._lo, self._hi
         parts = []
         for si, (slab, scale) in enumerate(self._slabs):
+            if slab is None:  # border-only slab skipped at dispatch
+                continue
             s0 = si * self._slab_len
             s1 = s0 + slab.shape[-1]
             c0, c1 = max(s0, lo), min(s1, hi)
@@ -470,6 +474,8 @@ class DemixJob:
                        dtype=np.float32)
         for si, ((slab, scale), fut) in enumerate(
                 zip(self._slabs, self._futures)):
+            if slab is None:  # border-only slab skipped at dispatch
+                continue
             s0 = si * slab_len
             s1 = s0 + slab.shape[-1]
             c0, c1 = max(s0, lo), min(s1, hi)
@@ -587,9 +593,10 @@ def demix_start(
         # its tiny slice program varies with song length, like the final
         # crop did before slab streaming.
         hi_bound = (length - border) if padded else length_init
-        needed = min(slab_len, int(hi_bound) - si * slab_len)
-        if needed > 0:  # a trailing slab fully inside the reflect border
-            # carries no real samples — skip its fetch (not its progress)
+        lo_bound = border if padded else 0
+        s0 = si * slab_len
+        needed = min(slab_len, int(hi_bound) - s0)
+        if needed > 0 and s0 + needed > lo_bound:
             if transport == "int16":
                 slab, scale = _crop_quant16(slab, needed)
             else:
@@ -602,6 +609,15 @@ def demix_start(
             # relay link the chain is trying to spare
             futures.append(None if transport == "device" else
                            _fetch_pool().submit(_fetch_slab, slab, scale))
+        else:
+            # a slab fully inside the reflect border (trailing when
+            # needed <= 0, LEADING at high overlap where border =
+            # (num_overlap-1)*step can exceed slab_len) carries no real
+            # samples: skip its fetch entirely (those bytes would cross
+            # the scarce relay link only to be dropped in collect) but
+            # keep a placeholder so slab index si stays positional
+            slabs.append((None, None))
+            futures.append(None)
         if progress_cb is not None:
             progress_cb((si + 1) / n_segments)
 

@@ -329,3 +329,32 @@ def test_nonfinite_outputs_stay_visible():
     for transport in ("f32", "int16"):
         out = demix(_nan_model, None, mix, spec, transport=transport)
         assert not np.isfinite(out).all(), transport
+
+
+def test_leading_border_slabs_not_fetched():
+    """Slabs entirely inside the LEFT reflect border must not submit
+    host-fetch futures at dispatch (those bytes cross the scarce relay
+    link only to be dropped in collect) — and the skip must not shift
+    later slabs' positional index si."""
+    from sesa_tpu.runtime.demix import demix_start
+
+    rng = np.random.default_rng(14)
+    mix = rng.standard_normal((2, 120000)).astype(np.float32)
+    # step 2048, border 14336, slab_len 4096: slabs 0-2 are border-only
+    spec = DemixSpec(chunk_size=16384, num_overlap=8, batch_size=2,
+                     num_stems=2)
+    job = demix_start(_mix_model_jax, None, mix, spec, seg_batches=1,
+                      transport="int16")
+    placeholders = [i for i, (s, _) in enumerate(job._slabs) if s is None]
+    assert placeholders[:3] == [0, 1, 2]
+    assert all(job._futures[i] is None for i in placeholders)
+    got = job.collect()
+    ref = oracle_demix(_mix_model_np, mix.astype(np.float64), 16384, 8, 2)
+    tol = np.abs(ref).max() / 32767.0
+    assert np.abs(got - ref).max() <= tol * 1.1
+
+    # device-collect path handles the placeholders too
+    job2 = demix_start(_mix_model_jax, None, mix, spec, seg_batches=1,
+                       transport="device")
+    np.testing.assert_allclose(np.asarray(job2.collect_device()), ref,
+                               atol=3e-5)
