@@ -411,7 +411,18 @@ def _make_take(state_dict):
 
     def take(key):
         used.add(key)
-        return sd[key]
+        try:
+            return sd[key]
+        except KeyError:
+            import difflib
+
+            near = difflib.get_close_matches(key, sd.keys(), n=3, cutoff=0.5)
+            raise KeyError(
+                f"checkpoint key {key!r} not found (expected by this "
+                f"model's assumed layout); closest present keys: {near}. "
+                "If this is a conformer-family checkpoint, see README "
+                "'Conformer checkpoint layout recovery'."
+            ) from None
 
     return sd, used, take
 

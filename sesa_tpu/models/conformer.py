@@ -96,12 +96,9 @@ def apply(params, config, x, precision=None):
 
 def convert_torch(state_dict, config):
     kw = _kwargs(config)
-    sd = {k: jnp.asarray(np.asarray(v)) for k, v in state_dict.items()}
-    used = set()
+    from sesa_tpu.models.bs_roformer import _make_take
 
-    def take(key):
-        used.add(key)
-        return sd[key]
+    sd, used, take = _make_take(cc.apply_key_map(state_dict))
 
     params = {
         "input_proj": {"weight": take("core.input_proj_stft.weight"),
@@ -112,5 +109,10 @@ def convert_torch(state_dict, config):
     }
     unused = {k for k in set(sd) - used if not k.startswith("window")}
     if unused:
-        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
+        raise ValueError(
+            f"unconsumed checkpoint keys: {sorted(unused)[:8]} ... — this "
+            "conformer checkpoint's module layout differs from the assumed "
+            "lucidrains reconstruction (frozen in tests/fixtures/layouts/). "
+            "See README 'Conformer checkpoint layout recovery' for what to "
+            "report and how to supply a key mapping.")
     return params

@@ -215,6 +215,39 @@ def conformer_apply(params, x, heads, precision=_HIGHEST):
 # torch conversion (lucidrains conformer key layout)
 # --------------------------------------------------------------------------
 
+def apply_key_map(state_dict):
+    """Field-recovery hatch for conformer-family checkpoints whose module
+    layout differs from the assumed lucidrains reconstruction (frozen in
+    tests/fixtures/layouts/). Set ``SESA_CONFORMER_KEY_MAP`` to a JSON
+    file of ``{"actual_key_or_prefix": "expected_key_or_prefix"}``;
+    checkpoint keys are renamed (exact match first, else longest matching
+    prefix; suffix the map key with ``$`` to forbid prefix matching) before
+    conversion. See README 'Conformer checkpoint layout recovery'.
+    """
+    import json
+    import os
+
+    path = os.environ.get("SESA_CONFORMER_KEY_MAP")
+    if not path:
+        return state_dict
+    with open(path, encoding="utf-8") as f:
+        key_map = json.load(f)
+    prefixes = sorted((k for k in key_map if not k.endswith("$")),
+                      key=len, reverse=True)
+    out = {}
+    for k, v in state_dict.items():
+        if k in key_map or k + "$" in key_map:
+            out[key_map.get(k, key_map.get(k + "$"))] = v
+            continue
+        for p in prefixes:
+            if k.startswith(p):
+                out[key_map[p] + k[len(p):]] = v
+                break
+        else:
+            out[k] = v
+    return out
+
+
 def convert_conformer(take, prefix, depth):
     layers = []
     for i in range(depth):

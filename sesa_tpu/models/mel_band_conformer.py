@@ -127,7 +127,7 @@ def convert_torch(state_dict, config):
     lucidrains Conformers at layers.{d}.{0,1}."""
     kw = _kwargs(config)
     plan = _plan(kw)
-    sd, used, take = _make_take(state_dict)
+    sd, used, take = _make_take(cc.apply_key_map(state_dict))
 
     bs_groups = []
     for ids in plan.group_band_ids:
@@ -170,5 +170,11 @@ def convert_torch(state_dict, config):
               if not k.endswith(("freq_indices", "freqs_per_band",
                                  "num_freqs_per_band", "num_bands_per_freq"))}
     if unused:
-        raise ValueError(f"unconsumed checkpoint keys: {sorted(unused)[:8]} ...")
+        raise ValueError(
+            f"unconsumed checkpoint keys: {sorted(unused)[:8]} ... — this "
+            "conformer-family checkpoint's module layout differs from the "
+            "assumed lucidrains reconstruction (frozen in "
+            "tests/fixtures/layouts/). See README 'Conformer checkpoint "
+            "layout recovery' for what to report and how to supply a key "
+            "mapping (SESA_CONFORMER_KEY_MAP).")
     return params
