@@ -1,13 +1,15 @@
-"""Headline benchmarks: all five BASELINE.json configs on one TPU chip.
+"""Headline benchmarks: the BASELINE.json configs on one TPU chip.
 
 Emits ONE JSON line per config, in this order (env `SESA_BENCH_ONLY` — a
 comma list of config names — subsets the run):
 
-  mdx23c_2stem_rtf        MDX23C TFC-TDF v3 2-stem (InstVocHQ shape)
-  htdemucs_4stem_rtf      demucs4ht hybrid transformer, demucs-mode demix
-  scnet_melconf_rtf       SCNet 4-stem + mel-band conformer vocals chain
-  ensemble_pipeline_rtf   avg_wave ensemble + phase_fixer + Apollo restore
-  bs_roformer_vocals_rtf  flagship (LAST: the driver parses the final line)
+  mel_band_roformer_rtf       dominant registry family (83/121 entries)
+  mdx23c_2stem_rtf            MDX23C TFC-TDF v3 2-stem (InstVocHQ shape)
+  htdemucs_4stem_rtf          demucs4ht hybrid transformer, demucs-mode
+  scnet_melconf_rtf           SCNet 4-stem + mel-band conformer vocals
+  ensemble_pipeline_rtf       avg_wave ensemble + phase_fixer + Apollo
+  bs_roformer_vocals_300s_rtf flagship on a 5-minute song
+  bs_roformer_vocals_rtf      flagship (LAST: driver parses the final line)
 
 Each separates a synthetic 60 s 44.1 kHz stereo song through the on-device
 demix engine in bf16 and reports RTF = audio-seconds processed per
@@ -164,6 +166,67 @@ def bench_flagship(runs=5, hold=False):
     return emit("bs_roformer_vocals_rtf", SONG_SECONDS / best, best, compile_s,
                 cache_new=cache_new, hold=hold, chunk_size=352800, batch_size=6, num_overlap=2,
                 seg_batches=1, dim=512, depth=12)
+
+
+@functools.lru_cache(maxsize=1)
+def _melband_setup():
+    """Mel-Band RoFormer at the dominant registry shape: 83 of 121
+    registry entries are mel_band_roformer and the common community
+    architecture (Kim vocal lineage, reference model.py mel-band entries)
+    is dim 384 / depth 12 / 60 mel bands."""
+    from sesa_tpu.models import mel_band_roformer
+
+    config = ConfigDict({"model": dict(
+        dim=384, depth=12, stereo=True, num_stems=1, num_bands=60,
+        sample_rate=SR, time_transformer_depth=1, freq_transformer_depth=1,
+        dim_head=64, heads=8, stft_n_fft=2048, stft_hop_length=512,
+        stft_win_length=2048, mask_estimator_depth=1,
+    )})
+    params = mel_band_roformer.init(jax.random.PRNGKey(2), config)
+
+    def model_apply(p, chunks):
+        return mel_band_roformer.apply(p, config, chunks,
+                                       compute_dtype=jnp.bfloat16)
+
+    spec = DemixSpec(chunk_size=352800, num_overlap=2, batch_size=6,
+                     num_stems=1)
+    return model_apply, params, spec
+
+
+def bench_mel_band_roformer(runs=3):
+    model_apply, params, spec = _melband_setup()
+    mix = make_song()
+    best, compile_s, cache_new = timed(
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1,
+                      transport="int16"), runs)
+    emit("mel_band_roformer_rtf", SONG_SECONDS / best, best, compile_s,
+         cache_new=cache_new, chunk_size=352800, batch_size=6, num_overlap=2,
+         dim=384, depth=12, num_bands=60)
+
+
+def bench_flagship_300s(runs=2):
+    """The 5-minute scaling point: same flagship executable per chunk, a
+    bigger buffer bucket and 9 pipelined segments — fixed overheads
+    amortize, so RTF should EXCEED the 60 s number (BASELINE.md)."""
+    model_apply, params, spec = _flagship_setup()
+    seconds = 300
+    mix = make_song(seconds=seconds)
+    best, compile_s, cache_new = timed(
+        lambda: demix(model_apply, params, mix, spec, seg_batches=1,
+                      transport="int16"), runs)
+    rtf = seconds / best
+    print(json.dumps({
+        "metric": "bs_roformer_vocals_300s_rtf", "value": round(rtf, 2),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(rtf / 20.0, 3),
+        "detail": {"song_seconds": seconds, "best_wall_s": round(best, 3),
+                   "compile_s": round(compile_s, 1),
+                   "cache_new_entries": cache_new,
+                   "local_cache_hit": cache_new == 0,
+                   "chunk_size": 352800, "batch_size": 6,
+                   "compute_dtype": "bfloat16",
+                   "device": str(jax.devices()[0])},
+    }), flush=True)
 
 
 def bench_mdx23c(runs=3):
@@ -364,10 +427,12 @@ def bench_ensemble_pipeline(runs=3):
 
 
 CONFIGS = {
+    "mel_band_roformer": bench_mel_band_roformer,
     "mdx23c": bench_mdx23c,
     "htdemucs": bench_htdemucs,
     "scnet_melconf": bench_scnet_melconf,
     "ensemble": bench_ensemble_pipeline,
+    "flagship_300s": bench_flagship_300s,
 }
 
 
