@@ -8,15 +8,17 @@ segmentation network from `segmentation_models_pytorch` / `torchseg` with
 an imagenet-pretrained encoder (e.g. the VitLarge23 vocal checkpoint uses
 a timm MaxViT encoder).
 
-Two encoder zoos are implemented natively with full checkpoint
+Three encoder zoos are implemented natively with full checkpoint
 conversion: MaxViT (the one the curated registry actually needs —
 VOCALS-VitLarge23 uses ``tu-maxvit_large_tf_512``; sesa_tpu/models/
-maxvit_unet.py) and the torchvision ResNet family (resnet18/34/50/101/
-152, the most common community choice; sesa_tpu/models/resnet_unet.py).
-Configs naming other encoder zoos (efficientnet/resnext/...) fall back
-to the shell with a self-contained symmetric conv U-Net: new models can
-be initialized/trained/ran, but converting those community checkpoints
-raises a typed error naming the unsupported encoder.
+maxvit_unet.py), the torchvision ResNet family (resnet18/34/50/101/152,
+the most common community choice; sesa_tpu/models/resnet_unet.py), and
+the EfficientNet family (efficientnet-b0..b7, lukemelas/smp layout;
+sesa_tpu/models/efficientnet_unet.py). Configs naming other encoder zoos
+(resnext/mobilenet/...) fall back to the shell with a self-contained
+symmetric conv U-Net: new models can be initialized/trained/ran, but
+converting those community checkpoints raises a typed error naming the
+unsupported encoder.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from sesa_tpu.models import layers as L
-from sesa_tpu.models import maxvit_unet, resnet_unet
+from sesa_tpu.models import efficientnet_unet, maxvit_unet, resnet_unet
 from sesa_tpu.models.mdx23c import (
     _cac2cws,
     _cws2cac,
@@ -54,6 +56,8 @@ def init(rng, config):
         native = (maxvit_unet, maxvit_unet.spec_from_config(config))
     elif resnet_unet.is_resnet(config):
         native = (resnet_unet, resnet_unet.spec_from_config(config))
+    elif efficientnet_unet.is_efficientnet(config):
+        native = (efficientnet_unet, efficientnet_unet.spec_from_config(config))
     if native is not None:
         mod, spec = native
         _require_unet_decoder(config)
@@ -103,8 +107,9 @@ def _require_unet_decoder(config):
     dec = config.model.get("decoder_type", "unet")
     if dec != "unet":
         raise NotImplementedError(
-            f"maxvit encoders are implemented for decoder_type 'unet' "
-            f"(smp.Unet, the layout VitLarge23 uses); got {dec!r}")
+            f"native encoders (maxvit/resnet/efficientnet) are implemented "
+            f"for decoder_type 'unet' (smp.Unet, the layout VitLarge23 "
+            f"uses); got {dec!r}")
 
 
 def _block_apply(p, x, act):
@@ -139,9 +144,12 @@ def image_path(params, config, mix):
         if maxvit_unet.is_maxvit(config):
             xx = maxvit_unet.apply(params["unet"], xx,
                                    maxvit_unet.spec_from_config(config))
-        else:
+        elif resnet_unet.is_resnet(config):
             xx = resnet_unet.apply(params["unet"], xx,
                                    resnet_unet.spec_from_config(config))
+        else:
+            xx = efficientnet_unet.apply(
+                params["unet"], xx, efficientnet_unet.spec_from_config(config))
     else:
         xx = _unet_apply(params, xx, act)
     xx = jnp.swapaxes(xx, -1, -2)
@@ -179,14 +187,18 @@ def convert_torch(state_dict, config):
         sub_mod, spec = maxvit_unet, maxvit_unet.spec_from_config(config)
     elif resnet_unet.is_resnet(config):
         sub_mod, spec = resnet_unet, resnet_unet.spec_from_config(config)
+    elif efficientnet_unet.is_efficientnet(config):
+        sub_mod = efficientnet_unet
+        spec = efficientnet_unet.spec_from_config(config)
     else:
         raise NotImplementedError(
             "segm_models/torchseg checkpoint conversion is implemented for "
             "MaxViT-Unet (the layout the curated registry needs, e.g. "
-            "VOCALS-VitLarge23) and ResNet-Unet encoders; this config names "
-            f"encoder {str(config.model.get('encoder_name', '?'))!r}, whose "
-            "imagenet zoo (segmentation_models_pytorch / torchseg / timm) is "
-            "not reproduced in this TPU build. Use the roformer/mdx23c/scnet "
+            "VOCALS-VitLarge23), ResNet-Unet, and EfficientNet-Unet (b0-b7) "
+            f"encoders; this config names encoder "
+            f"{str(config.model.get('encoder_name', '?'))!r}, whose imagenet "
+            "zoo (segmentation_models_pytorch / torchseg / timm) is not "
+            "reproduced in this TPU build. Use the roformer/mdx23c/scnet "
             "families, or initialize this architecture fresh with init()."
         )
     _require_unet_decoder(config)

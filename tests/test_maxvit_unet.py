@@ -112,8 +112,8 @@ def test_nested_stage_naming_alias(converted):
 
 def test_non_maxvit_encoder_still_typed():
     config = tiny_config()
-    config.model.encoder_name = "efficientnet-b3"
-    with pytest.raises(NotImplementedError, match="efficientnet-b3"):
+    config.model.encoder_name = "timm-regnetx_064"
+    with pytest.raises(NotImplementedError, match="timm-regnetx_064"):
         segm_models.convert_torch({}, config)
 
 

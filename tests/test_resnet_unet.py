@@ -108,8 +108,8 @@ def test_converter_is_strict():
 
 def test_unknown_encoder_still_raises_typed():
     config = tiny_config()
-    config.model.encoder_name = "efficientnet-b4"
-    with pytest.raises(NotImplementedError, match="efficientnet-b4"):
+    config.model.encoder_name = "mobilenet_v2"
+    with pytest.raises(NotImplementedError, match="mobilenet_v2"):
         segm_models.convert_torch({}, config)
 
 
