@@ -388,13 +388,12 @@ def bench_ensemble_pipeline(runs=3):
     (SCNet vocals + mel-band conformer vocals) feed the avg_wave ensemble,
     then phase_fixer against the mix, then Apollo restoration. The chain
     runs DEVICE-RESIDENT end to end (demix transport="device" ->
-    DemixJob.collect_device -> ensemble_waveforms_device ->
-    phase_fix_arrays(return_device=True) -> Apollo demix): the song
+    DemixJob.collect_device -> fused ensemble_phase_fix_device (ONE XLA
+    program for combine+STFT+blend+iSTFT) -> Apollo demix): the song
     uploads once and only Apollo's restored output crosses back to the
     host, so the recorded RTF covers the production chain's two real relay
     transfers instead of the reference's per-stage host round trips."""
-    from sesa_tpu.postprocess.ensemble import ensemble_waveforms_device
-    from sesa_tpu.postprocess.phase_fixer import phase_fix_arrays
+    from sesa_tpu.postprocess.phase_fixer import ensemble_phase_fix_device
     from sesa_tpu.runtime import demix_start, upload_mix
 
     sc_apply, sc_params, sc_spec = _scnet_setup()
@@ -409,10 +408,9 @@ def bench_ensemble_pipeline(runs=3):
         j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
                          seg_batches=1, transport="device")
         # scnet stem 3 = vocals; both stems stay in HBM
-        ens = ensemble_waveforms_device(
-            [j1.collect_device(stems=[3])[0], j2.collect_device()[0]],
-            "avg_wave")
-        fixed = phase_fix_arrays(mix_dev, ens, SR, return_device=True)
+        fixed = ensemble_phase_fix_device(
+            mix_dev, [j1.collect_device(stems=[3])[0],
+                      j2.collect_device()[0]], SR, method="avg_wave")
         restored = demix(ap_apply, ap_params, fixed, ap_spec,
                          seg_batches=1, transport="int16")
         return np.asarray(restored)

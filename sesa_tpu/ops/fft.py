@@ -21,7 +21,9 @@ imag plane); a Cooley-Tukey two-stage GEMM factorization (N = N1*N2 costs
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +71,32 @@ def _irdft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
 # was 4096). Only 8192+ transforms pay the on-device recompute.
 _DEVICE_MATS_MIN_N = 8192
 
+_tls = threading.local()
+
+
+def _min_device_n() -> int:
+    return getattr(_tls, "device_mats_min_n", _DEVICE_MATS_MIN_N)
+
+
+@contextlib.contextmanager
+def force_device_mats(min_n: int = 0):
+    """Trace-time override: generate DFT tables on device for any
+    n >= ``min_n`` within this thread. Used by whole-song fused programs
+    (e.g. the ensemble+phase-fix chain) whose embedded 2048-point tables
+    would otherwise bloat the executable the remote compiler must ingest;
+    per-chunk model programs keep the baked-constant default (regenerating
+    a 4096-point basis per chunk measurably slowed scnet). Thread-local so
+    concurrently-tracing demix worker threads are unaffected."""
+    old = getattr(_tls, "device_mats_min_n", None)
+    _tls.device_mats_min_n = min_n
+    try:
+        yield
+    finally:
+        if old is None:
+            del _tls.device_mats_min_n
+        else:
+            _tls.device_mats_min_n = old
+
 
 def _dft_angles(rows: int, cols: int, n: int) -> jax.Array:
     t = jax.lax.iota(jnp.int32, rows)
@@ -97,7 +125,7 @@ def _irdft_mats_dev(n: int) -> tuple[jax.Array, jax.Array]:
 def rdft(x: jax.Array) -> jax.Array:
     """Real DFT: (..., N) real -> (..., N//2+1, 2) RI spectrum."""
     n = x.shape[-1]
-    if n >= _DEVICE_MATS_MIN_N:
+    if n >= _min_device_n():
         c, s = _rdft_mats_dev(n)
     else:
         ch, sh = _rdft_mats(n)
@@ -120,7 +148,7 @@ def irdft_ortho(spec_ri: jax.Array, n: int) -> jax.Array:
 
 def irdft(spec_ri: jax.Array, n: int) -> jax.Array:
     """Inverse real DFT: (..., N//2+1, 2) RI spectrum -> (..., N) real."""
-    if n >= _DEVICE_MATS_MIN_N:
+    if n >= _min_device_n():
         ci, si = _irdft_mats_dev(n)
     else:
         cih, sih = _irdft_mats(n)

@@ -139,6 +139,16 @@ def ensemble_waveforms_device(waves, method: str = "avg_wave",
     _check_weights(weights, len(waves))
     tmin = min(w.shape[-1] for w in waves)
     stack = jnp.stack([w[..., :tmin].astype(jnp.float32) for w in waves])
+    return combine_stack_device(stack, method, weights)
+
+
+def combine_stack_device(stack, method: str, weights=None):
+    """Traceable waveform combine over a stacked (N, ...) device array —
+    the jnp core of :func:`ensemble_waveforms_device`, reusable inside
+    larger fused programs (postprocess.phase_fixer.
+    ensemble_phase_fix_device)."""
+    import jax.numpy as jnp
+
     if method == "avg_wave":
         if weights is not None:
             w = jnp.asarray(weights, dtype=jnp.float32)

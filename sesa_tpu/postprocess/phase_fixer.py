@@ -10,6 +10,7 @@ length. All math runs as one jitted RI-spectrum program on device.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional, Tuple
 
@@ -107,6 +108,82 @@ def phase_fix_arrays(
     fixed = blend_spectra(s, t, sr, low_cutoff, high_cutoff, base_factor, scale_factor)
     out = istft_ri(fixed, n_fft, hop, window, length=length)
     return out if return_device else np.asarray(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "sr", "low_cutoff", "high_cutoff",
+                     "base_factor", "scale_factor", "length"))
+def _ensemble_phase_fix(src, stack, weights, *, method, sr, low_cutoff,
+                        high_cutoff, base_factor, scale_factor, length):
+    from sesa_tpu.ops.fft import force_device_mats
+    from sesa_tpu.postprocess.ensemble import combine_stack_device
+
+    # trace-time: generate the 2048-point DFT tables on device instead of
+    # baking ~17 MB of cos/sin constants into this whole-song executable —
+    # the one-off recompute is noise next to the full-song STFT GEMMs, and
+    # the slim program remote-compiles/loads far faster on a cold relay
+    with force_device_mats():
+        ens = combine_stack_device(stack, method, weights)
+        n_fft, hop = 2048, 512
+        window = hann_window(n_fft)
+        s = stft_ri(src, n_fft, hop, window)
+        t = stft_ri(ens, n_fft, hop, window)
+        fixed = blend_spectra(s, t, sr, low_cutoff, high_cutoff,
+                              base_factor, scale_factor)
+        return istft_ri(fixed, n_fft, hop, window, length=length)
+
+
+def ensemble_phase_fix_device(
+    source,
+    waves,
+    sr: int,
+    method: str = "avg_wave",
+    weights=None,
+    low_cutoff: float = 500.0,
+    high_cutoff: float = 9000.0,
+    base_factor: float = 0.25,
+    scale_factor: float = 1.4,
+):
+    """Waveform ensemble + phase fix as ONE fused XLA program.
+
+    The device-resident auto-ensemble chain (two separations -> combine ->
+    phase fix -> Apollo) previously ran this stage eagerly: ~30 small op
+    dispatches (each a relay round trip) plus a whole-song ``istft_ri``
+    executable carrying ~17 MB of baked DFT constants that cost minutes of
+    remote compile on a cold relay (BENCH_r04 ensemble compile_s 408).
+    Fusing combine+STFT+blend+iSTFT yields one slim executable: one
+    dispatch, one cache entry, device-generated DFT tables.
+
+    ``source`` is the mix (phase donor, reference auto_ensemble flow);
+    ``waves`` the model stems (device arrays from
+    ``DemixJob.collect_device``). Returns a device array at the source
+    length, like ``phase_fix_arrays(..., return_device=True)``.
+    """
+    if method.endswith("_fft"):
+        raise ValueError(
+            f"fused ensemble+phase-fix supports waveform methods only, "
+            f"got {method!r}")
+    if not waves:
+        raise ValueError("no input waveforms")
+    length = source.shape[-1]
+    tmin = min([w.shape[-1] for w in waves] + [length])
+    if abs(length - tmin) > 512:
+        raise ValueError(
+            f"source/stem lengths differ by {abs(length - tmin)} samples; "
+            "phase fixing requires the same audio span")
+    src = jnp.asarray(source[..., :tmin]).astype(jnp.float32)
+    stack = jnp.stack([jnp.asarray(w[..., :tmin], jnp.float32)
+                       for w in waves])
+    w = (None if weights is None
+         else jnp.asarray(weights, dtype=jnp.float32))
+    # resynthesize at the SOURCE length like phase_fix_arrays (tolerating
+    # sub-hop decoder drift)
+    return _ensemble_phase_fix(
+        src, stack, w, method=method, sr=int(sr),
+        low_cutoff=float(low_cutoff), high_cutoff=float(high_cutoff),
+        base_factor=float(base_factor), scale_factor=float(scale_factor),
+        length=int(length))
 
 
 def blend_spectra(s: jax.Array, t: jax.Array, sr: int,

@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also compile the TTA (channel-swap/polarity) pass")
     p.add_argument("--compute_dtype", type=str, choices=["bf16", "f32"],
                    default="bf16")
+    p.add_argument("--phase_fix_models", type=int, default=0, metavar="N",
+                   help="also compile the fused ensemble+phase-fix chain "
+                        "program for an N-model stack at each song length "
+                        "(the auto-ensemble device chain: combine -> STFT "
+                        "-> blend -> iSTFT as one executable)")
     return p
 
 
@@ -72,6 +77,17 @@ def main(argv=None) -> int:
         session.separate(mix, use_tta=args.use_tta)
         print(f"[warmup] {args.model_type} {seconds}s: "
               f"{time.time() - t0:.1f}s -> {cache_dir()}", flush=True)
+        if args.phase_fix_models > 0:
+            from sesa_tpu.postprocess.phase_fixer import (
+                ensemble_phase_fix_device,
+            )
+
+            src = jnp.asarray(mix)
+            waves = [src] * args.phase_fix_models
+            t0 = time.time()
+            ensemble_phase_fix_device(src, waves, sr).block_until_ready()
+            print(f"[warmup] ensemble+phase-fix x{args.phase_fix_models} "
+                  f"{seconds}s: {time.time() - t0:.1f}s", flush=True)
     return 0
 
 

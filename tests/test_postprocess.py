@@ -194,3 +194,36 @@ def test_device_combiner_matches_host():
         ensemble_waveforms_device(dev, "nope")
     with pytest.raises(ValueError, match="weights"):
         ensemble_waveforms_device(dev, "avg_wave", weights=[1.0])
+
+
+def test_fused_ensemble_phase_fix_matches_eager_chain():
+    """ensemble_phase_fix_device (one fused XLA program with
+    device-generated DFT tables) must reproduce the eager chain
+    ensemble_waveforms_device -> phase_fix_arrays it replaces in the
+    device-resident auto-ensemble flow."""
+    import jax.numpy as jnp
+
+    from sesa_tpu.postprocess import ensemble_waveforms_device, phase_fix_arrays
+    from sesa_tpu.postprocess.phase_fixer import ensemble_phase_fix_device
+
+    sr = 44100
+    rng = np.random.default_rng(7)
+    mix = rng.standard_normal((2, sr)).astype(np.float32) * 0.3
+    waves = [jnp.asarray(rng.standard_normal((2, sr)).astype(np.float32) * 0.3)
+             for _ in range(2)]
+
+    ens = ensemble_waveforms_device(waves, "avg_wave")
+    ref = phase_fix_arrays(mix, ens, sr)
+    got = np.asarray(ensemble_phase_fix_device(jnp.asarray(mix), waves, sr))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+    # weighted + a different method keep parity too
+    ens_w = ensemble_waveforms_device(waves, "max_wave")
+    ref_w = phase_fix_arrays(mix, ens_w, sr)
+    got_w = np.asarray(ensemble_phase_fix_device(
+        jnp.asarray(mix), waves, sr, method="max_wave"))
+    np.testing.assert_allclose(got_w, ref_w, atol=5e-4, rtol=1e-3)
+
+    with pytest.raises(ValueError, match="waveform methods only"):
+        ensemble_phase_fix_device(jnp.asarray(mix), waves, sr, method="max_fft")

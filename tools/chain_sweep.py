@@ -90,7 +90,9 @@ def sweep_model(name, setup, batches, runs=3):
         _flush()
 
 
-def sweep_chain(sc_b, mc_b, ap_b, runs=3):
+def sweep_chain(sc_b, mc_b, ap_b, runs=3, mc_first=False):
+    from sesa_tpu.postprocess.phase_fixer import ensemble_phase_fix_device
+
     sc_apply, sc_params, sc_spec = bench._scnet_setup()
     mc_apply, mc_params, mc_spec = bench._melconf_setup()
     ap_apply, ap_params, ap_spec = bench._apollo_setup()
@@ -101,14 +103,19 @@ def sweep_chain(sc_b, mc_b, ap_b, runs=3):
 
     def run():
         mix_dev = upload_mix(mix)
-        j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
-                         seg_batches=1, transport="device")
-        j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
-                         seg_batches=1, transport="device")
-        ens = ensemble_waveforms_device(
-            [j1.collect_device(stems=[3])[0], j2.collect_device()[0]],
-            "avg_wave")
-        fixed = phase_fix_arrays(mix_dev, ens, bench.SR, return_device=True)
+        if mc_first:
+            j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
+                             seg_batches=1, transport="device")
+            j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
+                             seg_batches=1, transport="device")
+        else:
+            j1 = demix_start(sc_apply, sc_params, mix_dev, sc_spec,
+                             seg_batches=1, transport="device")
+            j2 = demix_start(mc_apply, mc_params, mix_dev, mc_spec,
+                             seg_batches=1, transport="device")
+        fixed = ensemble_phase_fix_device(
+            mix_dev, [j1.collect_device(stems=[3])[0],
+                      j2.collect_device()[0]], bench.SR, method="avg_wave")
         restored = demix(ap_apply, ap_params, fixed, ap_spec,
                          seg_batches=1, transport="int16")
         return np.asarray(restored)
@@ -123,9 +130,10 @@ def sweep_chain(sc_b, mc_b, ap_b, runs=3):
         run()
         walls.append(time.time() - t0)
     best = min(walls)
-    RESULTS[f"chain_sc{sc_b}_mc{mc_b}_ap{ap_b}"] = {
+    key = f"chain_sc{sc_b}_mc{mc_b}_ap{ap_b}" + ("_mcfirst" if mc_first else "")
+    RESULTS[key] = {
         "best_s": round(best, 3), "rtf": round(60.0 / best, 2),
-        "compile_s": round(compile_s, 1)}
+        "compile_s": round(compile_s, 1), "walls": [round(w, 3) for w in walls]}
     _flush()
 
 
@@ -153,6 +161,10 @@ def main():
             best[fam] = min(rows, key=rows.get) if rows else batches[0]
         sweep_chain(best.get("scnet", 6), best.get("melconf", 6),
                     best.get("apollo", 2))
+        # dispatch-order A/B: the long melconf job first overlaps scnet's
+        # host-side prep + fetch under melconf compute
+        sweep_chain(best.get("scnet", 6), best.get("melconf", 6),
+                    best.get("apollo", 2), mc_first=True)
     _flush()
 
 

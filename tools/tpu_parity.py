@@ -40,7 +40,8 @@ def check_transformer(results, seq, dim=512, heads=8, dim_head=64, batch=8):
     from sesa_tpu.models import roformer_core as core
     from sesa_tpu.ops.rope import default_freqs, rope_tables
 
-    name = f"transformer_seq{seq}"
+    name = f"transformer_seq{seq}" if dim == 512 else \
+        f"transformer_seq{seq}_d{dim}"
     params = core.transformer_init(jax.random.PRNGKey(seq), dim, 1, heads,
                                    dim_head)
     rope = rope_tables(jnp.asarray(default_freqs(dim_head)), seq)
@@ -94,7 +95,7 @@ def check_ff(results, tokens=4096, dim=512, mult=4):
     from sesa_tpu.models.layers import rms_norm
     from sesa_tpu.ops.ff import fused_ff_residual
 
-    name = f"ff_tokens{tokens}"
+    name = f"ff_tokens{tokens}" if dim == 512 else f"ff_tokens{tokens}_d{dim}"
     rng = np.random.default_rng(0)
     x = rng.standard_normal((tokens, dim)).astype(np.float32) * 0.5
     gamma = rng.standard_normal(dim).astype(np.float32) * 0.1 + 1
@@ -128,6 +129,57 @@ def check_ff(results, tokens=4096, dim=512, mult=4):
     }
 
 
+def check_conformer_attention(results, batch, seq, dim=384, heads=8,
+                              dim_head=64):
+    """Fused Pallas conformer attention (the melconf serving path) vs the
+    unfused XLA composition, bf16, against f32 unfused truth."""
+    from sesa_tpu.models import conformer_core as cc
+    from sesa_tpu.ops.attention import fused_conformer_attention
+
+    name = f"conformer_attn_b{batch}_s{seq}_d{dim}"
+    rng = np.random.default_rng(seq)
+
+    def r(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+
+    p = {"norm": {"weight": 1.0 + 0.1 * r(dim), "bias": r(dim)},
+         "to_q": {"weight": r(heads * dim_head, dim)},
+         "to_kv": {"weight": r(2 * heads * dim_head, dim)},
+         "to_out": {"weight": r(dim, heads * dim_head), "bias": r(dim)},
+         "rel_pos_emb": r(2 * 512 + 1, dim_head)}
+    x = jnp.asarray(rng.standard_normal((batch, seq, dim)).astype(np.float32)
+                    * 0.3)
+
+    def unfused(dtype):
+        pd = jax.tree.map(lambda a: a.astype(dtype), p)
+        fn = jax.jit(lambda v: cc._attn_apply(pd, v, heads, None) + v)
+        return _fetch(fn(x.astype(dtype))).astype(np.float32)
+
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    wqkv = jnp.concatenate([p16["to_q"]["weight"], p16["to_kv"]["weight"]],
+                           axis=0)
+    fn = jax.jit(lambda v: fused_conformer_attention(
+        v, p16["norm"]["weight"], p16["norm"]["bias"], wqkv,
+        p16["rel_pos_emb"], p16["to_out"]["weight"], p16["to_out"]["bias"],
+        heads))
+    fused = _fetch(fn(x.astype(jnp.bfloat16))).astype(np.float32)
+    truth = unfused(jnp.float32)
+    unf16 = unfused(jnp.bfloat16)
+
+    scale = float(np.abs(truth).max())
+    d_cross = float(np.abs(fused - unf16).max())
+    e_fused = float(np.abs(fused - truth).max())
+    e_unf = float(np.abs(unf16 - truth).max())
+    results[name] = {
+        "fused_vs_unfused_maxabs": round(d_cross, 5),
+        "fused_vs_f32_maxabs": round(e_fused, 5),
+        "unfused_vs_f32_maxabs": round(e_unf, 5),
+        "output_scale": round(scale, 3),
+        "ok": bool(d_cross < 0.1 * max(scale, 1.0)
+                   and e_fused < 2.0 * e_unf + 0.02 * scale),
+    }
+
+
 def main():
     if jax.devices()[0].platform == "cpu":
         print(json.dumps({"error": "no TPU visible; run on the chip"}))
@@ -137,13 +189,27 @@ def main():
     # freq transformer seq = 62 bands
     check_transformer(results, seq=690)
     check_transformer(results, seq=62, batch=64)
+    # mel family (83/121 registry entries): dim 384, 60 mel bands
+    check_transformer(results, seq=690, dim=384)
+    check_transformer(results, seq=60, dim=384, batch=64)
+    # apollo band-axis shape: 80 bands at dim 256
+    check_transformer(results, seq=80, dim=256, batch=32)
     check_ff(results)
-    out = {
-        "device": str(jax.devices()[0]),
-        "checks": results,
-        "ok": all(r["ok"] for r in results.values()),
-    }
-    with open(os.path.join(ROOT, "TPU_PARITY.json"), "w") as f:
+    check_ff(results, dim=384)
+    # melconf fused conformer attention at its serving shapes (time/freq)
+    check_conformer_attention(results, batch=48, seq=690)
+    check_conformer_attention(results, batch=512, seq=60)
+    path = os.path.join(ROOT, "TPU_PARITY.json")
+    out = {}
+    if os.path.exists(path):  # preserve sections other tools merged in
+        with open(path) as f:
+            out = json.load(f)
+    out.update(
+        device=str(jax.devices()[0]),
+        checks=results,
+        ok=all(r["ok"] for r in results.values()),
+    )
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     return 0 if out["ok"] else 1
