@@ -334,7 +334,7 @@ def _melconf_setup():
     return apply_fn, params, spec
 
 
-def bench_scnet_melconf(runs=3):
+def bench_scnet_melconf(runs=5):
     """SCNet 4-stem then mel-band conformer vocals over the same song — the
     BASELINE 'SCNet + mel-band conformer stems' config. RTF counts ONE pass
     of the song through BOTH models. The song uploads once (shared device
@@ -382,7 +382,7 @@ def _apollo_setup():
     return ap_apply, params, spec
 
 
-def bench_ensemble_pipeline(runs=3):
+def bench_ensemble_pipeline(runs=4):
     """REAL auto-ensemble data flow (reference auto_ensemble_process,
     processing.py:798-1188): two actual model separations of the same song
     (SCNet vocals + mel-band conformer vocals) feed the avg_wave ensemble,
