@@ -152,14 +152,69 @@ def _roformer_apply(p, x, num_head=8, precision=_HIGHEST):
     out = sdpa(q, k, v, precision=precision)  # (B, H, S, h)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, n)
     out = jnp.einsum("bsn,on->bso", out, p["out_w"], precision=precision) + x
+    return _roformer_mlp(p, out, precision)
 
+
+def _roformer_mlp(p, out, precision):
     h = _rms_norm_last(out, p["mlp_norm"])
-    h = jnp.einsum("bsn,on->bso", h, p["mlp_in"], precision=precision)
+    h = jnp.einsum("...n,on->...o", h, p["mlp_in"], precision=precision)
     h = jax.nn.silu(h)
     gate, z = jnp.split(h, 2, axis=-1)
     h = jax.nn.silu(gate) * z
-    h = jnp.einsum("bsn,on->bso", h, p["mlp_out"], precision=precision)
+    h = jnp.einsum("...n,on->...o", h, p["mlp_out"], precision=precision)
     return out + h
+
+
+def _qkv_head_block_perm(n, num_head):
+    """Row permutation taking the checkpoint's head-major qkv packing
+    [(q0,k0,v0),(q1,k1,v1),…] to the fused kernel's component-major
+    [q0..qH | k0..kH | v0..vH] layout."""
+    dh = n // num_head
+    rows = np.arange(3 * n).reshape(num_head, 3, dh)
+    return jnp.asarray(np.transpose(rows, (1, 0, 2)).reshape(-1))
+
+
+def _use_fused_band_attn(dtype) -> bool:
+    import os
+
+    if dtype != jnp.bfloat16 or os.environ.get("SESA_NO_FUSED"):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+def _roformer_apply_folded(p, feat, num_head=8, precision=_HIGHEST,
+                           interpret=False):
+    """Band transformer on feat (B', S, T, N) WITHOUT layout round trips.
+
+    Numerics match :func:`_roformer_apply`; the data movement does not:
+    the band/time transposes fold into the qkv / out projection GEMMs
+    (einsum output layouts), and rope + attention run inside the fused
+    Pallas kernel (packed qkv in, attended heads out — the (·, S, S)
+    logits and the per-head splits never touch HBM). On the profile this
+    removes the standalone 467 MB-tensor transposes and ~2.3 GB of f32
+    logits traffic per layer that made each BSNet layer cost ~95 ms
+    (tools/profile_apollo_layers.py).
+    """
+    from sesa_tpu.ops.attention import fused_rope_attention
+
+    b, s, t, n = feat.shape
+    dh = n // num_head
+    xn = _rms_norm_last(feat, p["input_norm"])
+    wq = p["qkv_w"][_qkv_head_block_perm(n, num_head)]
+    # transpose folded into the GEMM's output layout: (B', T, S, 3N)
+    qkv = jnp.einsum("bstn,on->btso", xn, wq, precision=precision)
+    cos, sin = _apollo_rope(dh, s)
+    out = fused_rope_attention(
+        qkv.reshape(b * t, s, 3 * n), num_head, dh ** -0.5,
+        rope=(cos, sin), gb_cap=8, interpret=interpret)
+    out = out.reshape(b, t, s, n)
+    # fold the way back into the out projection
+    out = jnp.einsum("btsh,oh->bsto", out, p["out_w"],
+                     precision=precision) + feat
+    return _roformer_mlp(p, out, precision)
 
 
 def _conv_act_norm_apply(p, x, kernel=7, precision=_HIGHEST):
@@ -228,11 +283,16 @@ def apply(params, config, x, precision=None, compute_dtype=None):
     feat = jnp.concatenate([feat_uni, feat_last[:, None]], axis=1)  # (B', 80, T, N)
     nband = feat.shape[1]
 
+    fused_band = _use_fused_band_attn(feat.dtype)
     for lp in params["layers"]:
         # band communication: sequence axis = bands, batched over (B', T)
-        z = jnp.transpose(feat, (0, 2, 1, 3)).reshape(-1, nband, n)
-        z = _roformer_apply(lp["band_net"], z, precision=precision)
-        feat = jnp.transpose(z.reshape(b * ch, t, nband, n), (0, 2, 1, 3))
+        if fused_band:
+            feat = _roformer_apply_folded(lp["band_net"], feat,
+                                          precision=precision)
+        else:
+            z = jnp.transpose(feat, (0, 2, 1, 3)).reshape(-1, nband, n)
+            z = _roformer_apply(lp["band_net"], z, precision=precision)
+            feat = jnp.transpose(z.reshape(b * ch, t, nband, n), (0, 2, 1, 3))
         # sequence modeling over frames per band
         z = feat.reshape(b * ch * nband, t, n)
         for blk in lp["seq_net"]:

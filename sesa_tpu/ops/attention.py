@@ -175,6 +175,17 @@ _PALLAS_MAX_SEQ = 2048
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scope
 
 
+def _gb_for(sp: int, cap: Optional[int] = None) -> int:
+    """Sequences per fused-kernel program: target a >=1024-row GEMM slab.
+
+    The cap bounds the kernels' static per-sequence unroll (attention
+    temporaries scale with it). Overridable for A/B sweeps via
+    ``SESA_FUSED_GB_CAP`` (tools/sweep_gb_cap.py)."""
+    if cap is None:
+        cap = int(os.environ.get("SESA_FUSED_GB_CAP", "4"))
+    return min(cap, max(1, 1024 // sp))
+
+
 def _vmem_group(seq: int, dim_head: int) -> int:
     """Heads per program such that the kernel's blocks + one f32 score
     tile fit the VMEM budget; 0 if even a single head does not fit."""
@@ -263,7 +274,8 @@ def _fused_attn_kernel(qkv_ref, cos_ref, sin_ref, j_ref, o_ref, *,
         jax.lax.fori_loop(0, gb, one_seq, 0)
 
 
-def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
+def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False,
+                         gb_cap=None):
     """Packed-qkv attention: (b, n, 3·h·dh) -> (b, n, h·dh).
 
     ``rope`` is the interleaved-convention (cos, sin) table pair of shape
@@ -286,7 +298,7 @@ def fused_rope_attention(qkv, heads, scale, rope=None, interpret=False):
     dh = packed // (3 * heads)
     sp = n + (-n) % 64  # 64-row padding: a 128 pad doubles short-seq FLOPs
     # short sequences group several per program to amortize grid overhead
-    gb = min(4, max(1, 1024 // sp))
+    gb = _gb_for(sp, gb_cap)
     bp = b + (-b) % gb
     if sp != n or bp != b:
         qkv = jnp.pad(qkv, ((0, bp - b), (0, sp - n), (0, 0)))
@@ -445,7 +457,7 @@ def _attn_block_kernel(*refs, scale, seq_len, heads, dh, gb, use_rope,
 
 def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
                           rope=None, interpret=False, vr=None,
-                          add_residual=True):
+                          add_residual=True, gb_cap=None):
     """x (b, n, d) -> x + gated-attention(rms_norm(x)) in one kernel.
 
     Weights keep their torch (out_features, in_features) layouts:
@@ -468,8 +480,10 @@ def fused_attention_block(x, gamma, wqkv, wg, bg, wo, heads, scale,
     dh = wqkv.shape[0] // (3 * heads)
     # pad to 64, not 128: at seq 62 a 128-pad would double every projection
     # and attention FLOP; Mosaic masks sub-128 lane tails itself
+    # pad to 64, not 128: at seq 62 a 128-pad would double every projection
+    # and attention FLOP; Mosaic masks sub-128 lane tails itself
     sp = n + (-n) % 64
-    gb = min(4, max(1, 1024 // sp))
+    gb = _gb_for(sp, gb_cap)
     bp = b + (-b) % gb
     if sp != n or bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
@@ -623,7 +637,7 @@ def _conformer_attn_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, eexp_ref,
 
 def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
                               heads, scale=None, interpret=False,
-                              variant="full"):
+                              variant="full", gb_cap=None):
     """x (b, n, d) -> x + conformer-attention(layer_norm(x)) in one kernel.
 
     Weights keep torch layouts: wqkv (3·h·dh, d) = [to_q; to_kv] rows,
@@ -638,7 +652,7 @@ def fused_conformer_attention(x, ln_w, ln_b, wqkv, rel_pos_emb, wo, bo,
     if scale is None:
         scale = dh ** -0.5
     sp = n + (-n) % 64
-    gb = min(4, max(1, 1024 // sp))
+    gb = _gb_for(sp, gb_cap)
     bp = b + (-b) % gb
     if sp != n or bp != b:
         x = jnp.pad(x, ((0, bp - b), (0, sp - n), (0, 0)))
@@ -689,7 +703,7 @@ def _use_fused(seq: int, dim_head: int, heads: int, dim: int = 0,
     # gb = min(4, 1024//sp) sequences per program) + an f32 score tile;
     # shapes past the budget fall back instead of failing Mosaic compile
     sp = seq + ((-seq) % 64)  # kernel pads to 64 lanes
-    gb = min(4, max(1, 1024 // sp))
+    gb = _gb_for(sp)
     d_attn = heads * dim_head
     d_model = dim or d_attn
     weights = (d_model * 3 * d_attn + d_attn * d_model) * 2
