@@ -217,6 +217,17 @@ def _roformer_apply_folded(p, feat, num_head=8, precision=_HIGHEST,
     return _roformer_mlp(p, out, precision)
 
 
+def _use_fused_seq_conv(z, blk) -> bool:
+    """Gate for the fused ICB conv kernel (ops/convblock.py). Unlike the
+    round-4 norm->MLP-only fusion (measured 1.10x SLOWER than XLA at these
+    dim-256 shapes and removed), this kernel also folds the depthwise conv
+    and the residual, saving two more full activation streams;
+    ``SESA_NO_FUSED_CONV`` restores the einsum path."""
+    from sesa_tpu.ops.convblock import use_fused_conv
+
+    return use_fused_conv(z, blk["pw1_w"].shape[0])
+
+
 def _conv_act_norm_apply(p, x, kernel=7, precision=_HIGHEST):
     """(B, T, N) depthwise conv over T + RMSNorm + pointwise MLP, residual.
 
@@ -296,7 +307,12 @@ def apply(params, config, x, precision=None, compute_dtype=None):
         # sequence modeling over frames per band
         z = feat.reshape(b * ch * nband, t, n)
         for blk in lp["seq_net"]:
-            z = _conv_act_norm_apply(blk, z, precision=precision)
+            if _use_fused_seq_conv(z, blk):
+                from sesa_tpu.ops.convblock import fused_apollo_conv
+
+                z = fused_apollo_conv(z, blk)
+            else:
+                z = _conv_act_norm_apply(blk, z, precision=precision)
         feat = z.reshape(b * ch, nband, t, n)
 
     # output heads: RMSNorm + 1x1 + GLU -> RI per band

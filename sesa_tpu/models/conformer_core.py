@@ -179,11 +179,13 @@ def _use_fused_conformer(x, p, heads) -> bool:
 
 def conformer_block_apply(p, x, heads, precision=_HIGHEST):
     if _use_fused_conformer(x, p, heads):
-        # bf16 TPU path: both FFs and the biased attention run as fused
-        # Pallas kernels — the (n, n) logits and the (tokens, 4·dim) FF
-        # hidden never touch HBM. The Shaw bias is realized in-kernel via
-        # a strided lane rotation (see ops/attention.py).
+        # bf16 TPU path: both FFs, the biased attention and the conv
+        # module run as fused Pallas kernels — the (n, n) logits, the
+        # (tokens, 4·dim) FF hidden and the (tokens, 2e) GLU stream never
+        # touch HBM. The Shaw bias is realized in-kernel via a strided
+        # lane rotation (see ops/attention.py, ops/convblock.py).
         from sesa_tpu.ops.attention import fused_conformer_attention
+        from sesa_tpu.ops.convblock import fused_conformer_conv, use_fused_conv
 
         a = p["attn"]
         wqkv = jnp.concatenate([a["to_q"]["weight"], a["to_kv"]["weight"]],
@@ -194,7 +196,11 @@ def conformer_block_apply(p, x, heads, precision=_HIGHEST):
             x.reshape(b, n, dim), a["norm"]["weight"], a["norm"]["bias"],
             wqkv, a["rel_pos_emb"], a["to_out"]["weight"],
             a["to_out"]["bias"], heads).reshape(x.shape)
-        x = _conv_apply(p["conv"], x, precision) + x
+        if use_fused_conv(x, p["conv"]["pw1"]["weight"].shape[0]):
+            x = fused_conformer_conv(
+                x.reshape(b, n, dim), p["conv"]).reshape(x.shape)
+        else:
+            x = _conv_apply(p["conv"], x, precision) + x
         x = _ff_fused(p["ff2"], x)
         return layer_norm(x, p["post_norm"])
     x = _ff_apply(p["ff1"], x, precision) + x
