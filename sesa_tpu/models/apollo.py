@@ -13,6 +13,8 @@ roformer band plans).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -295,7 +297,8 @@ def apply(params, config, x, precision=None, compute_dtype=None):
     nband = feat.shape[1]
 
     fused_band = _use_fused_band_attn(feat.dtype)
-    for lp in params["layers"]:
+
+    def one_layer(feat, lp):
         # band communication: sequence axis = bands, batched over (B', T)
         if fused_band:
             feat = _roformer_apply_folded(lp["band_net"], feat,
@@ -313,7 +316,24 @@ def apply(params, config, x, precision=None, compute_dtype=None):
                 z = fused_apollo_conv(z, blk)
             else:
                 z = _conv_act_norm_apply(blk, z, precision=precision)
-        feat = z.reshape(b * ch, nband, t, n)
+        return z.reshape(b * ch, nband, t, n)
+
+    # BSNet stack compile strategy (same as bs_roformer.apply): the layers
+    # are homogeneous, so scan over stacked params compiles the
+    # band-roformer + ICB body ONCE instead of `layer` times — the chain
+    # bench's first-run compile was dominated by these unrolled programs.
+    unroll = int(os.environ.get("SESA_APOLLO_SCAN_UNROLL", "2"))
+    if unroll > 0 and len(params["layers"]) > 1:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def scan_body(f, lp):
+            return one_layer(f, lp), None
+
+        feat, _ = jax.lax.scan(scan_body, feat, stacked,
+                               unroll=min(unroll, len(params["layers"])))
+    else:
+        for lp in params["layers"]:
+            feat = one_layer(feat, lp)
 
     # output heads: RMSNorm + 1x1 + GLU -> RI per band
     hu = _rms_norm_last(feat[:, :79], params["out_norm"][:, None, :])

@@ -9,6 +9,8 @@ post-norms itself).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -94,13 +96,34 @@ def apply(params, config, x, precision=None, compute_dtype=None):
                             precision=precision)
     nb, dim = plan.num_bands, kw["dim"]
 
-    for layer in params["layers"]:
-        z = jnp.transpose(xb, (0, 2, 1, 3)).reshape(b * nb, tf, dim)
-        z = cc.conformer_apply(layer["time"], z, kw["heads"], precision=precision)
-        xb = jnp.transpose(z.reshape(b, nb, tf, dim), (0, 2, 1, 3))
-        z = xb.reshape(b * tf, nb, dim)
-        z = cc.conformer_apply(layer["freq"], z, kw["heads"], precision=precision)
-        xb = z.reshape(b, tf, nb, dim)
+    def one_layer(z, layer):
+        zz = jnp.transpose(z, (0, 2, 1, 3)).reshape(b * nb, tf, dim)
+        zz = cc.conformer_apply(layer["time"], zz, kw["heads"],
+                                precision=precision)
+        z = jnp.transpose(zz.reshape(b, nb, tf, dim), (0, 2, 1, 3))
+        zz = z.reshape(b * tf, nb, dim)
+        zz = cc.conformer_apply(layer["freq"], zz, kw["heads"],
+                                precision=precision)
+        return zz.reshape(b, tf, nb, dim)
+
+    # depth-loop compile strategy (same as bs_roformer.apply): the layer
+    # stack is homogeneous by construction, so run ONE lax.scan over
+    # stacked per-depth params — XLA compiles the [time+freq] body once
+    # instead of depth times (the chain's minutes-long first-run compile
+    # was dominated by these unrolled depth programs). N-way body unroll
+    # buys back the loop overhead; 0 = fully unrolled program.
+    unroll = int(os.environ.get("SESA_CONFORMER_SCAN_UNROLL", "2"))
+    if unroll > 0 and len(params["layers"]) > 1:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def scan_body(z, layer):
+            return one_layer(z, layer), None
+
+        xb, _ = jax.lax.scan(scan_body, xb, stacked,
+                             unroll=min(unroll, len(params["layers"])))
+    else:
+        for layer in params["layers"]:
+            xb = one_layer(xb, layer)
 
     masks = jnp.stack(
         [B.mask_estimator_apply(plan, p, xb, precision=precision)
