@@ -176,14 +176,17 @@ _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB scope
 
 
 def _gb_for(sp: int, cap: Optional[int] = None) -> int:
-    """Sequences per fused-kernel program: target a >=1024-row GEMM slab.
+    """Sequences per fused-kernel program: target a slab of
+    ``SESA_FUSED_SLAB`` (default 1024) GEMM rows.
 
     The cap bounds the kernels' static per-sequence unroll (attention
     temporaries scale with it). Overridable for A/B sweeps via
-    ``SESA_FUSED_GB_CAP`` (tools/sweep_gb_cap.py)."""
+    ``SESA_FUSED_GB_CAP`` / ``SESA_FUSED_SLAB`` (tools/sweep_gb_cap.py,
+    tools/ab_perf_knobs.py)."""
     if cap is None:
         cap = int(os.environ.get("SESA_FUSED_GB_CAP", "4"))
-    return min(cap, max(1, 1024 // sp))
+    slab = int(os.environ.get("SESA_FUSED_SLAB", "1024"))
+    return min(cap, max(1, slab // sp))
 
 
 def _vmem_group(seq: int, dim_head: int) -> int:

@@ -72,7 +72,7 @@ def _ff_kernel(x_ref, gamma_ref, beta_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, beta=None, norm="rms",
-                      act="gelu", out_scale=1.0, tile=1024, interpret=False):
+                      act="gelu", out_scale=1.0, tile=None, interpret=False):
     """norm -> linear -> act -> linear (×out_scale) -> +x over (tokens, dim).
 
     Weights stay in torch (out_features, in_features) layout. The tanh
@@ -82,6 +82,10 @@ def fused_ff_residual(x, gamma, w1, b1, w2, b2, *, beta=None, norm="rms",
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if tile is None:  # A/B knob (tools/ab_perf_knobs.py)
+        import os
+
+        tile = int(os.environ.get("SESA_FUSED_FF_TILE", "1024"))
     tokens, dim = x.shape
     hidden = w1.shape[0]
     tp = tokens + (-tokens) % tile

@@ -180,6 +180,67 @@ def check_conformer_attention(results, batch, seq, dim=384, heads=8,
     }
 
 
+def check_conv_block(results, kind, batch, seq, dim, kernel):
+    """Fused depthwise-conv block kernels (ops/convblock.py) vs the
+    unfused conv/einsum compositions, bf16, against f32 unfused truth."""
+    from sesa_tpu.models import apollo as ap
+    from sesa_tpu.models import conformer_core as cc
+    from sesa_tpu.ops.convblock import fused_apollo_conv, fused_conformer_conv
+
+    name = f"{kind}_conv_b{batch}_s{seq}_d{dim}"
+    rng = np.random.default_rng(seq + dim)
+
+    def r(*s):
+        return jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.05)
+
+    if kind == "conformer":
+        e = dim * 2
+        p = {"norm": {"weight": 1.0 + 0.1 * r(dim), "bias": r(dim)},
+             "pw1": {"weight": r(2 * e, dim, 1), "bias": r(2 * e)},
+             "dw": {"weight": r(e, 1, kernel), "bias": r(e)},
+             "bn": {"weight": 1.0 + 0.1 * r(e), "bias": r(e),
+                    "running_mean": 0.1 * r(e),
+                    "running_var": jnp.abs(1.0 + 0.2 * r(e))},
+             "pw2": {"weight": r(dim, e, 1), "bias": r(dim)}}
+        unfused_fn = lambda pd, v: cc._conv_apply(pd, v, None) + v
+        fused_fn = fused_conformer_conv
+    else:
+        p = {"dw_w": r(dim, 1, kernel), "dw_b": r(dim),
+             "norm": 1.0 + 0.1 * r(dim),
+             "pw1_w": r(4 * dim, dim), "pw1_b": r(4 * dim),
+             "pw2_w": r(dim, 4 * dim), "pw2_b": r(dim)}
+        unfused_fn = lambda pd, v: ap._conv_act_norm_apply(
+            pd, v, kernel=kernel, precision=None)
+        fused_fn = fused_apollo_conv
+
+    x = jnp.asarray(rng.standard_normal((batch, seq, dim)).astype(np.float32)
+                    * 0.3)
+
+    def unfused(dtype):
+        pd = jax.tree.map(lambda a: a.astype(dtype), p)
+        fn = jax.jit(lambda v: unfused_fn(pd, v))
+        return _fetch(fn(x.astype(dtype))).astype(np.float32)
+
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    fn = jax.jit(lambda v: fused_fn(v, p16))
+    fused = _fetch(fn(x.astype(jnp.bfloat16))).astype(np.float32)
+    truth = unfused(jnp.float32)
+    unf16 = unfused(jnp.bfloat16)
+
+    scale = float(np.abs(truth).max())
+    d_cross = float(np.abs(fused - unf16).max())
+    e_fused = float(np.abs(fused - truth).max())
+    e_unf = float(np.abs(unf16 - truth).max())
+    results[name] = {
+        "fused_vs_unfused_maxabs": round(d_cross, 5),
+        "fused_vs_f32_maxabs": round(e_fused, 5),
+        "unfused_vs_f32_maxabs": round(e_unf, 5),
+        "output_scale": round(scale, 3),
+        "ok": bool(d_cross < 0.1 * max(scale, 1.0)
+                   and e_fused < 2.0 * e_unf + 0.02 * scale),
+    }
+
+
 def main():
     if jax.devices()[0].platform == "cpu":
         print(json.dumps({"error": "no TPU visible; run on the chip"}))
@@ -199,6 +260,14 @@ def main():
     # melconf fused conformer attention at its serving shapes (time/freq)
     check_conformer_attention(results, batch=48, seq=690)
     check_conformer_attention(results, batch=512, seq=60)
+    # fused depthwise-conv blocks at their serving shapes (batches scaled
+    # down ~8x to keep the f32-truth legs inside the probe budget)
+    check_conv_block(results, "conformer", batch=48, seq=690, dim=384,
+                     kernel=31)
+    check_conv_block(results, "conformer", batch=512, seq=60, dim=384,
+                     kernel=31)
+    check_conv_block(results, "apollo", batch=40, seq=1901, dim=256,
+                     kernel=7)
     path = os.path.join(ROOT, "TPU_PARITY.json")
     out = {}
     if os.path.exists(path):  # preserve sections other tools merged in
