@@ -52,11 +52,12 @@ def _dw_conv_seq(h, taps_ref, seq_len, kernel, masked):
     sp = h.shape[0]
     half_l = (kernel - 1) // 2
     row = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    hf = h.astype(jnp.float32)  # Mosaic's rotate only handles 32-bit data
     acc = jnp.zeros(h.shape, jnp.float32)
     for t in range(kernel):
         off = t - half_l  # out[i] += taps[t] * h[i + off]
-        shifted = h if off == 0 else pltpu.roll(h, (-off) % sp, 0)
-        term = shifted.astype(jnp.float32) * taps_ref[t].astype(jnp.float32)
+        shifted = hf if off == 0 else pltpu.roll(hf, (-off) % sp, 0)
+        term = shifted * taps_ref[t].astype(jnp.float32)
         if masked and off:
             src = row + off
             term = jnp.where((src >= 0) & (src < seq_len), term, 0.0)
