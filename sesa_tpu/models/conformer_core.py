@@ -12,6 +12,8 @@ BatchNorm carries running stats).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -188,14 +190,24 @@ def conformer_block_apply(p, x, heads, precision=_HIGHEST):
         from sesa_tpu.ops.convblock import fused_conformer_conv, use_fused_conv
 
         a = p["attn"]
-        wqkv = jnp.concatenate([a["to_q"]["weight"], a["to_kv"]["weight"]],
-                               axis=0)
         x = _ff_fused(p["ff1"], x)
         b, n, dim = x.reshape(-1, *x.shape[-2:]).shape
-        x = fused_conformer_attention(
-            x.reshape(b, n, dim), a["norm"]["weight"], a["norm"]["bias"],
-            wqkv, a["rel_pos_emb"], a["to_out"]["weight"],
-            a["to_out"]["bias"], heads).reshape(x.shape)
+        if n < int(os.environ.get("SESA_CONF_SHORTSEQ_ATTN", "0")):
+            # A/B knob: below this seq length, run the attention sub-module
+            # UNFUSED (one big qkv GEMM over all tokens + einsum attention)
+            # while keeping the fused FF/conv kernels. At short sequences
+            # (melconf freq leg: 60 mel bands) the fused kernel fragments
+            # the qkv projection into tiny per-program GEMMs, costing more
+            # than the whole-tensor GEMM + the small (n, n) logits it saves.
+            x = _attn_apply(a, x.reshape(b, n, dim), heads,
+                            _HIGHEST).reshape(x.shape) + x
+        else:
+            wqkv = jnp.concatenate([a["to_q"]["weight"],
+                                    a["to_kv"]["weight"]], axis=0)
+            x = fused_conformer_attention(
+                x.reshape(b, n, dim), a["norm"]["weight"], a["norm"]["bias"],
+                wqkv, a["rel_pos_emb"], a["to_out"]["weight"],
+                a["to_out"]["bias"], heads).reshape(x.shape)
         if use_fused_conv(x, p["conv"]["pw1"]["weight"].shape[0]):
             x = fused_conformer_conv(
                 x.reshape(b, n, dim), p["conv"]).reshape(x.shape)

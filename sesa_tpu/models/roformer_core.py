@@ -158,6 +158,13 @@ def attention_apply_residual(p, x, heads, rope=None, precision=_HIGHEST):
     Pallas kernel — the qkv tensor and normed activations never touch HBM."""
     n, dim = x.shape[-2:]
     dim_head = p["qkv_w"].shape[0] // (3 * heads)
+    if n < int(os.environ.get("SESA_ROFO_SHORTSEQ_ATTN", "0")):
+        # A/B knob (see conformer_core): below this seq length the fused
+        # block's fragmented per-program qkv GEMMs can cost more than the
+        # whole-tensor projection + small einsum attention; sdpa at short
+        # seq already takes the einsum path (_use_pallas min seq 256)
+        return attention_apply(p, x, heads, rope=rope,
+                               precision=precision) + x
     if "vr_mix_w" not in p and _use_fused(n, dim_head, heads, dim,
                                           dtype=x.dtype):
         out = fused_attention_block(

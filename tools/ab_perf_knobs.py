@@ -13,8 +13,10 @@ fresh process to avoid jit-cache cross-contamination):
 Each leg times fetch-light (first-8-samples) device-transport demix walls
 for melconf and apollo — the quantities the chain bench pays.
 
-Run on the chip: python tools/ab_perf_knobs.py
-                 python tools/ab_perf_knobs.py <leg>     (one leg)
+Run on the chip: python tools/ab_perf_knobs.py              (default legs)
+                 python tools/ab_perf_knobs.py leg1 leg2    (chosen legs,
+                     each still in its own subprocess; extra legs: ap_b6,
+                     mc9_ap4, shortattn)
 """
 
 import dataclasses
@@ -36,7 +38,22 @@ LEGS = {
     "ff2048": {"SESA_FUSED_FF_TILE": "2048"},
     "slab2048": {"SESA_FUSED_SLAB": "2048"},
     "base2": {},
+    # extra legs, run by name only (not part of the default list):
+    # apollo batch 6 = the 60 s song's 6 chunks in ONE dispatch
+    "ap_b6": {"SESA_AB_AP_BATCH": "6"},
+    # the combined candidate chain config
+    "mc9_ap4": {"SESA_AB_MC_BATCH": "9", "SESA_AB_AP_BATCH": "4"},
+    # short-seq attention hybrid: freq-leg (60 bands) attention runs
+    # unfused (whole-tensor qkv GEMM + einsum) inside the fused block
+    "shortattn": {"SESA_CONF_SHORTSEQ_ATTN": "128"},
+    # same hybrid for the roformer freq leg (62 bands) — flagship config;
+    # rofo_base is the matching control (threshold 1 never matches but
+    # still routes the leg harness to the flagship model)
+    "rofo_shortattn": {"SESA_ROFO_SHORTSEQ_ATTN": "128"},
+    "rofo_base": {"SESA_ROFO_SHORTSEQ_ATTN": "-1"},
 }
+
+DEFAULT_LEGS = ["base", "mc_b9", "ap_b4", "ff2048", "slab2048", "base2"]
 
 
 def leg(name):
@@ -52,11 +69,16 @@ def leg(name):
         ap_spec = dataclasses.replace(
             ap_spec, batch_size=int(os.environ["SESA_AB_AP_BATCH"]))
     mix = bench.make_song()
-    out = {}
-    for tag, (fn, p, spec) in {
+    models = {
         "melconf": (mc_apply, mc_params, mc_spec),
         "apollo": (ap_apply, ap_params, ap_spec),
-    }.items():
+    }
+    if os.environ.get("SESA_ROFO_SHORTSEQ_ATTN"):
+        # the roformer knob needs a flagship timing, not melconf/apollo
+        fs_apply, fs_params, fs_spec = bench._flagship_setup()
+        models = {"flagship": (fs_apply, fs_params, fs_spec)}
+    out = {}
+    for tag, (fn, p, spec) in models.items():
         def run():
             j = demix_start(fn, p, upload_mix(mix), spec, seg_batches=1,
                             transport="device")
@@ -80,17 +102,26 @@ def leg(name):
 
 
 def main():
-    if len(sys.argv) > 1 and sys.argv[1] in LEGS:
-        os.environ.update(LEGS[sys.argv[1]])
-        leg(sys.argv[1])
+    # child mode: --leg <name> runs one variant in THIS process
+    if len(sys.argv) > 2 and sys.argv[1] == "--leg":
+        os.environ.update(LEGS[sys.argv[2]])
+        leg(sys.argv[2])
         return 0
 
+    legs = sys.argv[1:] or DEFAULT_LEGS
     results = {}
-    for name, env_extra in LEGS.items():
+    for name in legs:
         env = dict(os.environ)
-        env.update(env_extra)
-        proc = subprocess.run([sys.executable, __file__, name], env=env,
-                              capture_output=True, text=True, timeout=2400)
+        env.update(LEGS[name])
+        try:
+            proc = subprocess.run([sys.executable, __file__, "--leg", name],
+                                  env=env, capture_output=True, text=True,
+                                  timeout=2400)
+        except subprocess.TimeoutExpired:
+            # relay outage window: record the miss, keep sweeping
+            print(json.dumps({name: "timeout"}), flush=True)
+            results[name] = "timeout"
+            continue
         sys.stderr.write(proc.stderr[-1500:])
         for line in proc.stdout.splitlines():
             print(line, flush=True)
@@ -98,8 +129,8 @@ def main():
                 results.update(json.loads(line))
             except (json.JSONDecodeError, ValueError):
                 pass
-    with open(os.path.join(ROOT, "tools", "ab_perf_knobs.json"), "w") as f:
-        json.dump(results, f, indent=1)
+        with open(os.path.join(ROOT, "tools", "ab_perf_knobs.json"), "w") as f:
+            json.dump(results, f, indent=1)
     return 0
 
 
